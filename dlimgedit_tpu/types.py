@@ -1,0 +1,209 @@
+"""Core value types mirroring the reference public API.
+
+Reference: /root/reference/src/include/dlimgedit/dlimgedit.hpp:23-135
+(Extent, Channels, ImageView, Image, Backend, Options, Point, Region).
+
+These are plain Python dataclasses — the TPU-native rebuild keeps the same
+public vocabulary so the C++14 header can sit on top unchanged.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+__all__ = [
+    "Extent",
+    "Channels",
+    "channel_count",
+    "ImageView",
+    "Image",
+    "Backend",
+    "Options",
+    "Point",
+    "Region",
+]
+
+
+@dataclass(frozen=True)
+class Extent:
+    """Resolution of an image or size of an image region (dlimgedit.hpp:23)."""
+
+    width: int = 0
+    height: int = 0
+
+    def __iter__(self):
+        yield self.width
+        yield self.height
+
+
+class Channels(enum.Enum):
+    """Channel order of image pixels; each channel is 1 byte (dlimgedit.hpp:29).
+
+    The enum values for mask/rgb/rgba match the reference's numeric values
+    (1, 3, 4); bgra/argb are 4-channel orders with distinct tags.
+    """
+
+    mask = 1
+    rgb = 3
+    rgba = 4
+    bgra = 5
+    argb = 6
+
+
+def channel_count(channels: Channels) -> int:
+    """Number of channels for a pixel (dlimgedit.hpp:32 ``count``)."""
+    if channels in (Channels.rgba, Channels.bgra, Channels.argb):
+        return 4
+    return channels.value
+
+
+# Channel index maps used to extract RGB from any supported order.
+# Reference: create_image_tensor, /root/reference/src/segmentation.cpp:81-97.
+RGB_CHANNEL_MAP = {
+    Channels.mask: (0, 0, 0),
+    Channels.rgb: (0, 1, 2),
+    Channels.rgba: (0, 1, 2),
+    Channels.bgra: (2, 1, 0),
+    Channels.argb: (1, 2, 3),
+}
+
+
+@dataclass
+class ImageView:
+    """Read-only view of packed row-major uint8 pixel data (dlimgedit.hpp:36).
+
+    ``pixels`` is a numpy array of shape (height, width, channel_count) or
+    (height, width) for masks. The view does not copy.
+    """
+
+    pixels: np.ndarray
+    extent: Extent
+    channels: Channels = Channels.rgba
+
+    @staticmethod
+    def from_array(arr: np.ndarray, channels: Optional[Channels] = None) -> "ImageView":
+        if arr.dtype != np.uint8:
+            raise ValueError(f"ImageView requires uint8 pixels, got {arr.dtype}")
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        if channels is None:
+            channels = {1: Channels.mask, 3: Channels.rgb, 4: Channels.rgba}.get(c)
+            if channels is None:
+                raise ValueError(f"Unsupported number of channels ({c})")
+        if channel_count(channels) != c:
+            raise ValueError(
+                f"channels={channels} expects {channel_count(channels)} planes, got {c}"
+            )
+        return ImageView(pixels=arr, extent=Extent(w, h), channels=channels)
+
+
+class Image:
+    """An image owning packed uint8 pixel data (dlimgedit.hpp:48-84)."""
+
+    def __init__(self, extent: Extent, channels: Channels = Channels.rgba,
+                 pixels: Optional[np.ndarray] = None):
+        self._extent = extent
+        self._channels = channels
+        c = channel_count(channels)
+        if pixels is None:
+            pixels = np.empty((extent.height, extent.width, c), dtype=np.uint8)
+        else:
+            pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+            if pixels.ndim == 2:
+                pixels = pixels[:, :, None]
+            if pixels.shape != (extent.height, extent.width, c):
+                raise ValueError(
+                    f"pixel buffer shape {pixels.shape} does not match "
+                    f"extent {extent} x {c} channels"
+                )
+        self._pixels = pixels
+
+    @property
+    def extent(self) -> Extent:
+        return self._extent
+
+    @property
+    def channels(self) -> Channels:
+        return self._channels
+
+    @property
+    def pixels(self) -> np.ndarray:
+        return self._pixels
+
+    @property
+    def size(self) -> int:
+        """Size in bytes (dlimgedit.hpp:56)."""
+        return self._pixels.nbytes
+
+    def view(self) -> ImageView:
+        return ImageView(self._pixels, self._extent, self._channels)
+
+    @staticmethod
+    def load(filepath) -> "Image":
+        from .image.io import load_image
+
+        return load_image(str(filepath))
+
+    @staticmethod
+    def save(img: Union["Image", ImageView], filepath) -> None:
+        from .image.io import save_image
+
+        save_image(img if isinstance(img, ImageView) else img.view(), str(filepath))
+
+
+class Backend(enum.Enum):
+    """Hardware backend (dlimgedit.hpp:89). ``gpu`` maps to the accelerator
+    platform (TPU in this build); ``cpu`` maps to the JAX CPU platform."""
+
+    cpu = 0
+    gpu = 1
+    tpu = 1  # alias: the accelerator backend of this build *is* the TPU
+
+
+@dataclass
+class Options:
+    """Inference options (dlimgedit.hpp:91-96).
+
+    ``model_directory`` holds converted weight bundles (.npz / orbax) instead
+    of the reference's .onnx files. ``allow_random_weights`` lets the
+    environment fall back to deterministic random-initialised weights when no
+    bundle is present (used by tests and benchmarking without checkpoints).
+    """
+
+    backend: Backend = Backend.cpu
+    model_directory: str = "models"
+    allow_random_weights: bool = False
+    # Compute dtype for encoder forward passes. bf16 is the TPU-native choice.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class Point:
+    """A point in image pixel coordinates, origin top-left (dlimgedit.hpp:119)."""
+
+    x: int = 0
+    y: int = 0
+
+
+@dataclass(frozen=True)
+class Region:
+    """A rectangular region in image pixel coordinates (dlimgedit.hpp:125)."""
+
+    top_left: Point
+    bottom_right: Point
+
+    @staticmethod
+    def from_origin_extent(origin: Point, extent: Extent) -> "Region":
+        return Region(origin, Point(origin.x + extent.width, origin.y + extent.height))
+
+    @property
+    def extent(self) -> Extent:
+        return Extent(
+            self.bottom_right.x - self.top_left.x,
+            self.bottom_right.y - self.top_left.y,
+        )

@@ -1,0 +1,146 @@
+"""Image layer tests, ported from the reference's test_image.cpp and the pure
+sections of test_segmentation.cpp (ResizeLongestSide geometry)."""
+
+import numpy as np
+import pytest
+
+from dlimgedit_tpu.image.resize import (
+    filter_matrix,
+    resize,
+    resize_longest_side_extent,
+    resize_mask,
+    transform_point,
+)
+from dlimgedit_tpu.image.io import load_image, save_image
+from dlimgedit_tpu.types import Channels, Extent, Image, ImageView
+
+
+# --- ResizeLongestSide geometry (test_segmentation.cpp:15-57) ---------------
+
+def test_resize_longest_side_height_upscale():
+    target, _ = resize_longest_side_extent(Extent(13, 19), 26)
+    assert target == Extent(18, 26)
+
+
+def test_resize_longest_side_height_downscale():
+    target, _ = resize_longest_side_extent(Extent(13, 19), 10)
+    assert target == Extent(7, 10)
+
+
+def test_resize_longest_side_width_upscale():
+    target, _ = resize_longest_side_extent(Extent(19, 13), 26)
+    assert target == Extent(26, 18)
+
+
+def test_resize_longest_side_width_downscale():
+    target, _ = resize_longest_side_extent(Extent(19, 13), 10)
+    assert target == Extent(10, 7)
+
+
+def test_transform_point():
+    # test_segmentation.cpp:47-57
+    _, scale = resize_longest_side_extent(Extent(10, 10), 20)
+    assert transform_point(0, 0, scale) == (0, 0)
+    assert transform_point(10, 10, scale) == (20, 20)
+    assert transform_point(2, 7, scale) == (4, 14)
+
+
+# --- Filter matrices ---------------------------------------------------------
+
+def test_filter_matrix_rows_normalised():
+    for kernel in ("catmull-rom", "mitchell", "box", "triangle"):
+        m = filter_matrix(17, 5, kernel)
+        np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-12)
+        m = filter_matrix(5, 17, kernel)
+        np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-12)
+
+
+def test_filter_matrix_identity():
+    # Same-size resize must be identity for interpolating kernels.
+    for kernel in ("catmull-rom", "box", "triangle"):
+        m = filter_matrix(9, 9, kernel)
+        np.testing.assert_allclose(m, np.eye(9), atol=1e-12)
+
+
+def test_box_downscale_2x_is_average():
+    m = filter_matrix(8, 4, "box")
+    expected = np.zeros((4, 8))
+    for i in range(4):
+        expected[i, 2 * i] = 0.5
+        expected[i, 2 * i + 1] = 0.5
+    np.testing.assert_allclose(m, expected, atol=1e-12)
+
+
+# --- resize / resize_mask ----------------------------------------------------
+
+def test_resize_constant_image_stays_constant():
+    img = Image(Extent(32, 24), Channels.rgb, np.full((24, 32, 3), 77, np.uint8))
+    out = resize(img, Extent(13, 9))
+    assert out.extent == Extent(13, 9)
+    assert np.all(out.pixels == 77)
+    out = resize(img, Extent(64, 48))
+    assert np.all(out.pixels == 77)
+
+
+def test_resize_mask_box_downscale():
+    arr = np.zeros((4, 4), dtype=np.uint8)
+    arr[:2, :2] = 255
+    out = resize_mask(ImageView.from_array(arr, Channels.mask), Extent(2, 2))
+    assert out.shape == (2, 2)
+    assert out[0, 0] == 255
+    assert out[0, 1] == 0
+    assert out[1, 0] == 0
+    assert out[1, 1] == 0
+
+
+def test_resize_mask_preserves_binary_levels():
+    rng = np.random.default_rng(1)
+    arr = (rng.random((64, 48)) > 0.5).astype(np.uint8) * 255
+    out = resize_mask(ImageView.from_array(arr, Channels.mask), Extent(48, 64))
+    assert out.shape == (64, 48)
+    assert out.min() >= 0 and out.max() <= 255
+
+
+# --- I/O round trips (test_image.cpp) ----------------------------------------
+
+def test_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 256, (20, 30, 4), dtype=np.uint8)
+    img = Image(Extent(30, 20), Channels.rgba, arr)
+    p = tmp_path / "roundtrip.png"
+    save_image(img.view(), str(p))
+    loaded = load_image(str(p))
+    assert loaded.extent == Extent(30, 20)
+    assert loaded.channels == Channels.rgba
+    np.testing.assert_array_equal(loaded.pixels, arr)
+
+
+def test_mask_png_roundtrip(tmp_path):
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    img = Image(Extent(8, 8), Channels.mask, arr)
+    p = tmp_path / "mask.png"
+    save_image(img.view(), str(p))
+    loaded = load_image(str(p))
+    assert loaded.channels == Channels.mask
+    np.testing.assert_array_equal(loaded.pixels[:, :, 0], arr)
+
+
+def test_save_unsupported_channels_raises(tmp_path):
+    from dlimgedit_tpu.errors import UnsupportedImageError
+
+    arr = np.zeros((4, 4, 4), dtype=np.uint8)
+    v = ImageView(arr, Extent(4, 4), Channels.bgra)
+    with pytest.raises(UnsupportedImageError):
+        save_image(v, str(tmp_path / "x.png"))
+
+
+def test_load_real_reference_input():
+    # truck.jpg is the one non-LFS asset in the reference tree.
+    import os
+
+    path = "/root/reference/test/input/truck.jpg"
+    if not os.path.exists(path):
+        pytest.skip("reference test input not available")
+    img = load_image(path)
+    assert img.extent == Extent(1800, 1200)
+    assert img.channels == Channels.rgb
