@@ -1,0 +1,168 @@
+"""Shared neural-net building blocks (pure-functional JAX, NHWC layouts).
+
+Design notes (TPU-first):
+  * Everything is channels-last (NHWC) so convolutions and layernorms map
+    directly onto the MXU/VPU without layout transposes.
+  * Parameters are plain nested dicts of jnp arrays (pytrees) — trivially
+    shardable with jax.sharding and easy to convert from torch state dicts.
+  * BatchNorm is folded into a per-channel (scale, bias) affine at
+    conversion time — inference-only, like the reference's ORT graphs which
+    ship with fused BN. The affine remains trainable for fine-tuning.
+  * GELU is the exact erf formulation (torch nn.GELU default), required for
+    numerical parity with the upstream checkpoints.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact GELU (erf), matching torch.nn.GELU()."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.relu(x)
+
+
+# ---------------------------------------------------------------------------
+# Initialisers
+# ---------------------------------------------------------------------------
+
+def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def kaiming_uniform_conv(key, shape, dtype=jnp.float32):
+    """Torch Conv2d default init for an HWIO kernel."""
+    kh, kw, cin, _ = shape
+    fan_in = kh * kw * cin
+    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def linear_init(key, cin, cout, dtype=jnp.float32):
+    """Torch nn.Linear default init: U(-1/sqrt(cin), 1/sqrt(cin))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(cin)
+    w = jax.random.uniform(kw, (cin, cout), dtype, -bound, bound)
+    b = jax.random.uniform(kb, (cout,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding: int = 0,
+           groups: int = 1) -> jnp.ndarray:
+    """NHWC conv with HWIO kernel."""
+    return jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+
+
+def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
+    """NHWC transposed conv (kernel HWIO, torch ConvTranspose2d semantics,
+    kernel_size == stride, no padding) — used by the SAM mask-decoder
+    upscaler (2x2 stride-2)."""
+    return jax.lax.conv_transpose(
+        x, w,
+        strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def init_conv(key, cin, cout, ks, groups: int = 1, dtype=jnp.float32) -> Params:
+    w = kaiming_uniform_conv(key, (ks, ks, cin // groups, cout), dtype)
+    return {"w": w}
+
+
+def init_conv_bn(key, cin, cout, ks, groups: int = 1, bn_weight_init: float = 1.0,
+                 dtype=jnp.float32) -> Params:
+    """Conv2d_BN (TinyViT) with the BN folded to (scale, bias).
+
+    A freshly-initialised torch Conv2d_BN in eval mode computes
+    ``bn(conv(x))`` with running stats (0, 1), i.e. an affine with
+    scale = bn.weight (init ``bn_weight_init``) and bias = bn.bias (init 0) up
+    to eps — which is exactly this folded representation.
+    """
+    return {
+        "w": kaiming_uniform_conv(key, (ks, ks, cin // groups, cout), dtype),
+        "scale": jnp.full((cout,), bn_weight_init, dtype),
+        "bias": jnp.zeros((cout,), dtype),
+    }
+
+
+def conv_bn(params: Params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
+            groups: int = 1) -> jnp.ndarray:
+    y = conv2d(x, params["w"], stride, padding, groups)
+    return y * params["scale"] + params["bias"]
+
+
+def init_layer_norm(dim, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the last axis. With NHWC tensors this is also SAM's
+    LayerNorm2d (which normalises the channel axis; use eps=1e-6 there)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * params["scale"] + params["bias"]).astype(dtype)
+
+
+def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, params["w"].astype(x.dtype),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    if "b" in params:
+        y = y + params["b"].astype(x.dtype)
+    return y
+
+
+def init_mlp(key, dim, hidden, out=None, dtype=jnp.float32) -> Params:
+    out = out or dim
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm": init_layer_norm(dim, dtype),
+        "fc1": linear_init(k1, dim, hidden, dtype),
+        "fc2": linear_init(k2, hidden, out, dtype),
+    }
+
+
+def mlp_ln(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """TinyViT Mlp: LayerNorm -> fc1 -> GELU -> fc2."""
+    y = layer_norm(params["norm"], x)
+    y = gelu(linear(params["fc1"], y))
+    return linear(params["fc2"], y)
+
+
+# ---------------------------------------------------------------------------
+# Dtype policy helpers
+# ---------------------------------------------------------------------------
+
+def cast_tree(params, dtype):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        params,
+    )
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(a.shape)) for a in jax.tree_util.tree_leaves(params))
