@@ -23,6 +23,12 @@ import numpy as np
 
 Params = Dict[str, Any]
 
+# All matmuls/convs request full input precision; compute cost is controlled
+# by the dtype policy instead (bf16 activations/weights on the encoder path
+# run the MXU natively). This matters because the default matmul precision
+# rounds f32 inputs to bf16, which breaks f32-critical ops.
+HIGHEST = jax.lax.Precision.HIGHEST
+
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
     """Exact GELU (erf), matching torch.nn.GELU()."""
@@ -71,19 +77,26 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding: int = 0,
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
+        precision=HIGHEST,
     )
 
 
 def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
-    """NHWC transposed conv (kernel HWIO, torch ConvTranspose2d semantics,
-    kernel_size == stride, no padding) — used by the SAM mask-decoder
-    upscaler (2x2 stride-2)."""
-    return jax.lax.conv_transpose(
-        x, w,
-        strides=(stride, stride),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    """NHWC transposed conv with kernel_size == stride (non-overlapping), the
+    SAM mask-decoder upscaler case (ConvTranspose2d(k=2, s=2)).
+
+    With k == s this is exactly a per-pixel matmul + pixel-shuffle:
+      out[b, s*i+p, s*j+q, o] = sum_c x[b,i,j,c] * w[p,q,c,o]
+    which maps straight onto the MXU with no conv-transpose lowering.
+    Kernel layout: (k, k, cin, cout) (torch weight.permute(2, 3, 0, 1)).
+    """
+    B, H, W, _ = x.shape
+    k = w.shape[0]
+    O = w.shape[3]
+    y = jnp.einsum("bhwc,pqco->bhwpqo", x, w.astype(x.dtype),
+                   preferred_element_type=jnp.float32, precision=HIGHEST).astype(x.dtype)
+    y = y.transpose(0, 1, 3, 2, 4, 5)  # (B, H, k, W, k, O)
+    return y.reshape(B, H * k, W * k, O)
 
 
 def init_conv(key, cin, cout, ks, groups: int = 1, dtype=jnp.float32) -> Params:
@@ -130,7 +143,7 @@ def layer_norm(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray
 
 def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     y = jnp.dot(x, params["w"].astype(x.dtype),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+                preferred_element_type=jnp.float32, precision=HIGHEST).astype(x.dtype)
     if "b" in params:
         y = y + params["b"].astype(x.dtype)
     return y

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .common import (
+    HIGHEST,
     Params,
     conv_transpose2d,
     gelu,
@@ -133,10 +134,10 @@ def _attn(params: Params, q, k, v, num_heads: int) -> jnp.ndarray:
     k = k.reshape(B, Nk, num_heads, hd)
     v = v.reshape(B, Nk, num_heads, hd)
     attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                      preferred_element_type=jnp.float32) / np.sqrt(hd)
+                      preferred_element_type=jnp.float32, precision=HIGHEST) / np.sqrt(hd)
     attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
-                     preferred_element_type=jnp.float32).astype(v.dtype)
+                     preferred_element_type=jnp.float32, precision=HIGHEST).astype(v.dtype)
     return linear(params["out"], out.reshape(B, Nq, C))
 
 
@@ -232,7 +233,7 @@ def predict_masks(params: Params, image_embedding: jnp.ndarray,
         [_mlp_chain(params["hypernet_mlps"][i], mask_tokens_out[:, i])
          for i in range(nmt)], axis=1)  # (B, nmt, C/8)
     masks = jnp.einsum("btc,bhwc->bthw", hyper_in, x,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32, precision=HIGHEST)
     iou_pred = _mlp_chain(params["iou_head"], iou_token_out.astype(jnp.float32))
     return masks, iou_pred
 

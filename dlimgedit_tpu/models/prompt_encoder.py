@@ -68,7 +68,10 @@ def pe_encoding(params: Params, coords01: jnp.ndarray) -> jnp.ndarray:
     coords01: (..., 2) -> (..., embed_dim). Computed in f32 (sin/cos of large
     phases is precision-sensitive)."""
     coords = 2.0 * coords01.astype(jnp.float32) - 1.0
-    coords = coords @ params["pe_gaussian"].astype(jnp.float32)
+    # Elementwise rather than a K=2 matmul: exact in f32 (the default matmul
+    # path rounds inputs to bf16) and avoids a degenerate MXU op.
+    g = params["pe_gaussian"].astype(jnp.float32)
+    coords = coords[..., 0:1] * g[0] + coords[..., 1:2] * g[1]
     coords = 2.0 * np.pi * coords
     return jnp.concatenate([jnp.sin(coords), jnp.cos(coords)], axis=-1)
 

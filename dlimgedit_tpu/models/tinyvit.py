@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .common import (
+    HIGHEST,
     Params,
     conv2d,
     conv_bn,
@@ -201,11 +202,11 @@ def _attention(params: Params, x: jnp.ndarray, num_heads: int, window: int
     bias = jnp.take(params["attention_biases"], jnp.asarray(idxs), axis=1)  # (nh,N,N)
 
     attn = jnp.einsum("bnhk,bmhk->bhnm", q, k,
-                      preferred_element_type=jnp.float32) * scale
+                      preferred_element_type=jnp.float32, precision=HIGHEST) * scale
     attn = attn + bias.astype(jnp.float32)[None]
     attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+                     preferred_element_type=jnp.float32, precision=HIGHEST).astype(x.dtype)
     out = out.reshape(B, N, num_heads * key_dim)
     return linear(params["proj"], out)
 

@@ -1,0 +1,203 @@
+"""SAM ViT image encoders (ViT-B/L/H) in pure JAX — BASELINE configs 3/4.
+
+The reference only ships the MobileSAM (vit_t) encoder
+(/root/reference/src/segmentation.cpp:14), but its decoder is the standard
+SAM decoder, so the bigger official encoders drop straight in. Architecture:
+ViTDet-style plain ViT with decomposed relative-position attention (MViTv2),
+windowed attention except at the global-attention blocks, and the same
+2-conv LayerNorm2d neck as TinyViT-SAM.
+
+TPU-first: NHWC, windows processed as one big batched matmul, f32 softmax,
+bf16-friendly. Static shapes throughout (img_size fixes all token counts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import (
+    HIGHEST,
+    Params,
+    conv2d,
+    gelu,
+    init_conv,
+    init_layer_norm,
+    layer_norm,
+    linear,
+    linear_init,
+    trunc_normal,
+)
+from .tinyvit import _window_partition, _window_unpartition  # shared helpers
+
+
+@dataclass(frozen=True)
+class SamViTConfig:
+    img_size: int = 1024
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    window_size: int = 14
+    global_attn_indexes: Tuple[int, ...] = (2, 5, 8, 11)
+    neck_dim: int = 256
+    use_abs_pos: bool = True
+    use_rel_pos: bool = True
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+
+VIT_PRESETS = {
+    "vit_b": lambda img_size=1024: SamViTConfig(
+        img_size=img_size, embed_dim=768, depth=12, num_heads=12,
+        global_attn_indexes=(2, 5, 8, 11)),
+    "vit_l": lambda img_size=1024: SamViTConfig(
+        img_size=img_size, embed_dim=1024, depth=24, num_heads=16,
+        global_attn_indexes=(5, 11, 17, 23)),
+    "vit_h": lambda img_size=1024: SamViTConfig(
+        img_size=img_size, embed_dim=1280, depth=32, num_heads=16,
+        global_attn_indexes=(7, 15, 23, 31)),
+}
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _init_block(key, cfg: SamViTConfig, window: int, dtype) -> Params:
+    d = cfg.embed_dim
+    hd = d // cfg.num_heads
+    size = cfg.grid if window == 0 else window
+    k = jax.random.split(key, 4)
+    p: Params = {
+        "norm1": init_layer_norm(d, dtype),
+        "qkv": {"w": trunc_normal(k[0], (d, 3 * d), dtype=dtype),
+                "b": jnp.zeros((3 * d,), dtype)},
+        "proj": linear_init(k[1], d, d, dtype),
+        "norm2": init_layer_norm(d, dtype),
+        "mlp": {"lin1": linear_init(k[2], d, int(d * cfg.mlp_ratio), dtype),
+                "lin2": linear_init(k[3], int(d * cfg.mlp_ratio), d, dtype)},
+    }
+    if cfg.use_rel_pos:
+        p["rel_pos_h"] = jnp.zeros((2 * size - 1, hd), dtype)
+        p["rel_pos_w"] = jnp.zeros((2 * size - 1, hd), dtype)
+    return p
+
+
+def init_sam_vit(key, cfg: SamViTConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, cfg.depth + 4)
+    params: Params = {
+        "patch_embed": {
+            "w": trunc_normal(ks[0],
+                              (cfg.patch_size, cfg.patch_size, cfg.in_chans,
+                               cfg.embed_dim), dtype=dtype),
+            "b": jnp.zeros((cfg.embed_dim,), dtype),
+        },
+        "blocks": [
+            _init_block(ks[1 + i], cfg,
+                        0 if i in cfg.global_attn_indexes else cfg.window_size,
+                        dtype)
+            for i in range(cfg.depth)
+        ],
+        "neck": {
+            "conv1": init_conv(ks[-2], cfg.embed_dim, cfg.neck_dim, 1, dtype=dtype),
+            "ln1": init_layer_norm(cfg.neck_dim, dtype),
+            "conv2": init_conv(ks[-1], cfg.neck_dim, cfg.neck_dim, 3, dtype=dtype),
+            "ln2": init_layer_norm(cfg.neck_dim, dtype),
+        },
+    }
+    if cfg.use_abs_pos:
+        params["pos_embed"] = jnp.zeros((1, cfg.grid, cfg.grid, cfg.embed_dim), dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+def _decomposed_rel_pos_bias(q: jnp.ndarray, rel_pos_h: jnp.ndarray,
+                             rel_pos_w: jnp.ndarray, h: int, w: int
+                             ) -> jnp.ndarray:
+    """MViTv2 decomposed relative position bias for equal q/k sizes.
+
+    q: (B*, nh, h*w, hd). rel_pos_*: (2*size-1, hd) with size == h (== w).
+    Returns bias (B*, nh, h*w, h*w)."""
+    # Equal q/k sizes: index table is simply (i - j + size - 1).
+    idx_h = np.arange(h)[:, None] - np.arange(h)[None, :] + (h - 1)
+    idx_w = np.arange(w)[:, None] - np.arange(w)[None, :] + (w - 1)
+    rh = jnp.take(rel_pos_h, jnp.asarray(idx_h), axis=0)  # (h, h, hd)
+    rw = jnp.take(rel_pos_w, jnp.asarray(idx_w), axis=0)  # (w, w, hd)
+    Bn, nh, _, hd = q.shape
+    qr = q.reshape(Bn, nh, h, w, hd)
+    bias_h = jnp.einsum("bnhwc,hkc->bnhwk", qr, rh.astype(q.dtype),
+                        preferred_element_type=jnp.float32, precision=HIGHEST)
+    bias_w = jnp.einsum("bnhwc,wkc->bnhwk", qr, rw.astype(q.dtype),
+                        preferred_element_type=jnp.float32, precision=HIGHEST)
+    bias = bias_h[..., :, None] + bias_w[..., None, :]  # (B,nh,h,w,h,w)
+    return bias.reshape(Bn, nh, h * w, h * w)
+
+
+def _vit_attention(params: Params, x: jnp.ndarray, num_heads: int,
+                   use_rel_pos: bool) -> jnp.ndarray:
+    """x: (B*, h, w, C) -> same shape."""
+    Bn, h, w, C = x.shape
+    hd = C // num_heads
+    qkv = linear(params["qkv"], x.reshape(Bn, h * w, C))
+    qkv = qkv.reshape(Bn, h * w, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # (Bn, nh, hw, hd)
+    attn = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                      preferred_element_type=jnp.float32, precision=HIGHEST) * (hd ** -0.5)
+    if use_rel_pos:
+        attn = attn + _decomposed_rel_pos_bias(q, params["rel_pos_h"],
+                                               params["rel_pos_w"], h, w)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bnqk,bnkd->bnqd", attn, v,
+                     preferred_element_type=jnp.float32, precision=HIGHEST).astype(v.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(Bn, h, w, C)
+    return linear(params["proj"], out)
+
+
+def _vit_block(params: Params, x: jnp.ndarray, cfg: SamViTConfig, window: int
+               ) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    shortcut = x
+    x = layer_norm(params["norm1"], x, eps=cfg.layer_norm_eps)
+    if window > 0:
+        wx, meta = _window_partition(x, window)
+        wx = wx.reshape(-1, window, window, C)
+        wx = _vit_attention(params, wx, cfg.num_heads, cfg.use_rel_pos)
+        x = _window_unpartition(wx.reshape(-1, window * window, C), window, meta,
+                                H, W, C)
+    else:
+        x = _vit_attention(params, x, cfg.num_heads, cfg.use_rel_pos)
+    x = shortcut + x
+    y = layer_norm(params["norm2"], x, eps=cfg.layer_norm_eps)
+    y = linear(params["mlp"]["lin2"], gelu(linear(params["mlp"]["lin1"], y)))
+    return x + y
+
+
+def sam_vit_apply(params: Params, x: jnp.ndarray, cfg: SamViTConfig
+                  ) -> jnp.ndarray:
+    """x: (B, S, S, 3) normalised pixels -> (B, S/16, S/16, neck_dim)."""
+    pe = params["patch_embed"]
+    x = conv2d(x, pe["w"].astype(x.dtype), stride=cfg.patch_size) + pe["b"]
+    if cfg.use_abs_pos and "pos_embed" in params:
+        x = x + params["pos_embed"].astype(x.dtype)
+    for i, bp in enumerate(params["blocks"]):
+        window = 0 if i in cfg.global_attn_indexes else cfg.window_size
+        x = _vit_block(bp, x, cfg, window)
+    neck = params["neck"]
+    x = conv2d(x, neck["conv1"]["w"].astype(x.dtype))
+    x = layer_norm(neck["ln1"], x, eps=1e-6)
+    x = conv2d(x, neck["conv2"]["w"].astype(x.dtype), padding=1)
+    x = layer_norm(neck["ln2"], x, eps=1e-6)
+    return x
