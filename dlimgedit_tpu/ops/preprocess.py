@@ -1,0 +1,86 @@
+"""Fused SAM image preprocessing — one XLA program from raw pixels to the
+normalised, padded encoder input.
+
+Replaces three host hot loops of the reference (SURVEY.md §3.2):
+  * stb resize-longest-side        (image.cpp:37-51 via segmentation.cpp:60-70)
+  * channel shuffle uint8->float   (create_image_tensor, segmentation.cpp:81-106)
+  * normalise + pad to 1024^2      (baked into the ONNX encoder graph,
+                                    script/export_models.py use_preprocess=True)
+
+Host side only packs the raw uint8 RGB pixels into a bucketed canvas; resize
+(antialiased bilinear, dynamic scale), normalisation and padding all run on
+device with static shapes, so one compiled executable serves every image size
+up to the bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import Channels, Extent, ImageView, RGB_CHANNEL_MAP
+from .resample import resample_matrix
+from ..models.common import HIGHEST
+from ..models.sam import SAM_PIXEL_MEAN, SAM_PIXEL_STD
+
+# Canvas buckets: one compiled executable per bucket (SURVEY.md §7 step 2's
+# static-shape discipline).
+CANVAS_BUCKETS = (256, 512, 1024, 2048, 4096)
+
+
+def pick_bucket(extent: Extent, buckets=CANVAS_BUCKETS) -> int:
+    m = max(extent.width, extent.height)
+    for b in buckets:
+        if m <= b:
+            return b
+    return ((m + 1023) // 1024) * 1024  # oversized: round up to 1 KiB grid
+
+
+def pack_rgb_canvas(view: ImageView, bucket: int) -> np.ndarray:
+    """Host-side: place RGB-mapped uint8 pixels top-left in a (bucket, bucket, 3)
+    canvas. Channel mapping follows create_image_tensor
+    (/root/reference/src/segmentation.cpp:81-97): mask->(0,0,0),
+    bgra->(2,1,0), argb->(1,2,3), rgb/rgba->(0,1,2)."""
+    arr = view.pixels
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    cmap = RGB_CHANNEL_MAP[view.channels]
+    h, w = arr.shape[:2]
+    canvas = np.zeros((bucket, bucket, 3), dtype=np.uint8)
+    canvas[:h, :w, 0] = arr[:, :, cmap[0]]
+    canvas[:h, :w, 1] = arr[:, :, cmap[1]]
+    canvas[:h, :w, 2] = arr[:, :, cmap[2]]
+    return canvas
+
+
+def sam_preprocess(canvas: jnp.ndarray, in_h, in_w, out_h, out_w,
+                   image_size: int = 1024,
+                   compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Device-side fused preprocess.
+
+    canvas: (S, S, 3) uint8, valid region [:in_h, :in_w].
+    out_h/out_w: resize-longest-side target (max == image_size), traced.
+    Returns (1, image_size, image_size, 3) normalised, zero-padded pixels.
+    """
+    S = canvas.shape[0]
+    img = canvas.astype(jnp.float32)
+    R = resample_matrix(image_size, S, out_h, in_h, antialias=True)
+    C = resample_matrix(image_size, S, out_w, in_w, antialias=True)
+    x = jnp.einsum("ih,hwc->iwc", R, img,
+                   preferred_element_type=jnp.float32, precision=HIGHEST)
+    x = jnp.einsum("iwc,jw->ijc", x, C,
+                   preferred_element_type=jnp.float32, precision=HIGHEST)
+    mean = jnp.asarray(SAM_PIXEL_MEAN, jnp.float32)
+    std = jnp.asarray(SAM_PIXEL_STD, jnp.float32)
+    x = (x - mean) / std
+    # SAM pads the normalised image with zeros (original preprocess: normalize
+    # then F.pad). Rows/cols beyond (out_h, out_w) are already zero from the
+    # resample matrices ONLY in the value sense ((0-mean)/std != 0), so mask:
+    i = jax.lax.broadcasted_iota(jnp.int32, (image_size, image_size, 1), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (image_size, image_size, 1), 1)
+    inside = (i < out_h) & (j < out_w)
+    x = jnp.where(inside, x, 0.0)
+    return x[None].astype(compute_dtype)

@@ -1,0 +1,169 @@
+"""Device op tests: dynamic-scale resampling vs torch.interpolate oracles,
+fused preprocess/postprocess semantics, largest-component selection."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dlimgedit_tpu.ops.resample import resample_matrix, resample_2d
+from dlimgedit_tpu.ops.postprocess import (
+    threshold_mask,
+    sigmoid_to_u8,
+    upsample_mask_logits,
+)
+from dlimgedit_tpu.ops.preprocess import (
+    CANVAS_BUCKETS,
+    pack_rgb_canvas,
+    pick_bucket,
+    sam_preprocess,
+)
+from dlimgedit_tpu.ops.connected import largest_component_mask
+from dlimgedit_tpu.types import Channels, Extent, Image, ImageView
+
+torch = pytest.importorskip("torch")
+
+
+def torch_interp(x, size, antialias=False):
+    t = torch.from_numpy(np.asarray(x, np.float32))[None, None]
+    out = torch.nn.functional.interpolate(
+        t, size=size, mode="bilinear", align_corners=False, antialias=antialias)
+    return out[0, 0].numpy()
+
+
+def test_resample_matrix_matches_torch_upsample():
+    rng = np.random.default_rng(0)
+    img = rng.random((8, 8)).astype(np.float32)
+    ref = torch_interp(img, (20, 20))
+    R = np.asarray(resample_matrix(20, 8, 20, 8))
+    C = np.asarray(resample_matrix(20, 8, 20, 8))
+    mine = R @ img @ C.T
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_resample_matrix_matches_torch_downsample_antialias():
+    rng = np.random.default_rng(1)
+    img = rng.random((32, 32)).astype(np.float32)
+    ref = torch_interp(img, (13, 13), antialias=True)
+    R = np.asarray(resample_matrix(13, 32, 13, 32, antialias=True))
+    mine = R @ img @ R.T
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_resample_dynamic_sizes_zero_outside():
+    rng = np.random.default_rng(2)
+    img = np.zeros((32, 32, 1), np.float32)
+    img[:10, :14, 0] = rng.random((10, 14)).astype(np.float32)
+    out = np.asarray(resample_2d(jnp.asarray(img), 32, 32, 20, 28, 10, 14))
+    ref = torch_interp(img[:10, :14, 0], (20, 28))
+    np.testing.assert_allclose(out[:20, :28, 0], ref, atol=1e-5)
+    assert np.all(out[20:] == 0)
+    assert np.all(out[:, 28:] == 0)
+
+
+def test_upsample_mask_logits_matches_two_stage_torch():
+    """The composed single-matrix postprocess must equal the ONNX graph's
+    two-stage interpolate + crop + interpolate."""
+    rng = np.random.default_rng(3)
+    low = rng.standard_normal((1, 2, 8, 8)).astype(np.float32)
+    model_size, bucket = 32, 64
+    orig_h, orig_w = 50, 37      # original image size
+    # pre-padded size: round(orig * model_size / longest)
+    crop_h = int(orig_h * model_size / max(orig_h, orig_w) + 0.5)
+    crop_w = int(orig_w * model_size / max(orig_h, orig_w) + 0.5)
+
+    t = torch.from_numpy(low)
+    up = torch.nn.functional.interpolate(t, size=(model_size, model_size),
+                                         mode="bilinear", align_corners=False)
+    up = up[..., :crop_h, :crop_w]
+    ref = torch.nn.functional.interpolate(up, size=(orig_h, orig_w),
+                                          mode="bilinear",
+                                          align_corners=False).numpy()
+
+    mine = np.asarray(upsample_mask_logits(jnp.asarray(low), bucket, model_size,
+                                           orig_h, orig_w, crop_h, crop_w))
+    np.testing.assert_allclose(mine[:, :, :orig_h, :orig_w], ref, atol=1e-4)
+    assert np.all(mine[:, :, orig_h:, :] == 0)
+    assert np.all(mine[:, :, :, orig_w:] == 0)
+
+
+def test_threshold_mask():
+    logits = jnp.asarray([[0.0, 0.2, -3.1, 5.5]])
+    out = np.asarray(threshold_mask(logits))
+    np.testing.assert_array_equal(out, [[0, 255, 0, 255]])
+
+
+def test_sigmoid_to_u8_matches_reference_cast():
+    # BiRefNet.process_mask semantics (test_segmentation.cpp:170-180).
+    vals = np.array([0.0, 0.2, -3.1, 5.5, 0.7, 0.9], np.float32)
+    out = np.asarray(sigmoid_to_u8(jnp.asarray(vals)))
+    expected = (1.0 / (1.0 + np.exp(-vals)) * 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_pick_bucket():
+    assert pick_bucket(Extent(512, 512)) == 512
+    assert pick_bucket(Extent(513, 100)) == 1024
+    assert pick_bucket(Extent(1800, 1200)) == 2048
+    assert pick_bucket(Extent(5000, 100)) == 5120
+
+
+def test_pack_rgb_canvas_channel_maps():
+    # Mirrors SAM.create_image_tensor (test_segmentation.cpp:59-83).
+    h, w = 6, 8
+    for channels, expected in [
+        (Channels.rgb, (0.0, 1.0, 2.0, 3.0, 4.0, 24.0)),
+        (Channels.rgba, (0.0, 1.0, 2.0, 4.0, 5.0, 32.0)),
+        (Channels.bgra, (2.0, 1.0, 0.0, 6.0, 5.0, 34.0)),
+        (Channels.argb, (1.0, 2.0, 3.0, 5.0, 6.0, 33.0)),
+    ]:
+        from dlimgedit_tpu.types import channel_count
+
+        c = channel_count(channels)
+        arr = np.arange(h * w * c, dtype=np.uint8).reshape(h, w, c)
+        view = ImageView(arr, Extent(w, h), channels)
+        canvas = pack_rgb_canvas(view, 16)
+        got = (canvas[0, 0, 0], canvas[0, 0, 1], canvas[0, 0, 2],
+               canvas[0, 1, 0], canvas[0, 1, 1], canvas[1, 0, 0])
+        assert tuple(float(v) for v in got) == expected, channels
+
+
+def test_sam_preprocess_matches_torch_pipeline():
+    """Fused preprocess == resize(antialias) -> normalize -> pad."""
+    rng = np.random.default_rng(4)
+    h, w, S, model = 24, 17, 32, 16
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    th, tw = model, int(w * model / max(h, w) + 0.5)  # longest side = model
+
+    canvas = np.zeros((S, S, 3), np.uint8)
+    canvas[:h, :w] = img
+    out = np.asarray(sam_preprocess(jnp.asarray(canvas), h, w, th, tw,
+                                    image_size=model))[0]
+
+    t = torch.from_numpy(img.astype(np.float32)).permute(2, 0, 1)[None]
+    resized = torch.nn.functional.interpolate(
+        t, size=(th, tw), mode="bilinear", align_corners=False,
+        antialias=True)[0].permute(1, 2, 0).numpy()
+    mean = np.array([123.675, 116.28, 103.53], np.float32)
+    std = np.array([58.395, 57.12, 57.375], np.float32)
+    ref = np.zeros((model, model, 3), np.float32)
+    ref[:th, :tw] = (resized - mean) / std
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_largest_component():
+    mask = np.zeros((16, 16), bool)
+    mask[1:4, 1:4] = True       # 9 px
+    mask[8:15, 8:15] = True     # 49 px
+    mask[0, 15] = True          # 1 px
+    out = np.asarray(jax.jit(largest_component_mask)(jnp.asarray(mask)))
+    expected = np.zeros_like(mask)
+    expected[8:15, 8:15] = True
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_largest_component_empty():
+    mask = np.zeros((8, 8), bool)
+    out = np.asarray(largest_component_mask(jnp.asarray(mask)))
+    assert not out.any()
