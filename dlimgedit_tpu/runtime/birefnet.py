@@ -1,0 +1,107 @@
+"""BiRefNet runtime: dichotomous foreground segmentation.
+
+Mirrors BiRefNet::segment (/root/reference/src/segmentation.cpp:221-270):
+kind escalation (>1536 px -> high-res, :222-225), resize to model resolution,
+ImageNet normalise (:232-233), forward, sigmoid -> uint8, box-filter resize
+back to the original extent (image.cpp:53-62).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import ModelNotFoundError
+from ..image.resize import resize_mask
+from ..models.common import cast_tree
+from ..ops.postprocess import sigmoid_to_u8
+from ..ops.preprocess import pack_rgb_canvas, pick_bucket
+from ..ops.resample import resample_matrix
+from ..models.common import HIGHEST
+from ..types import Channels, Extent, Image, ImageView
+from ..utils.pytree_io import load_pytree
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+BIREFNET_BUNDLES = {
+    # Preference-ordered fallback like select_birefnet_model
+    # (segmentation.cpp:179-207).
+    "general": ("birefnet_general.npz", "birefnet_hr.npz"),
+    "high_res": ("birefnet_hr.npz", "birefnet_general.npz"),
+}
+BIREFNET_RESOLUTION = {"general": 1024, "high_res": 2048}
+
+
+class BiRefNetBundle:
+    def __init__(self, cfg, params, device, compute_dtype, resolution: int):
+        from ..models.birefnet import BiRefNetConfig  # noqa: F401
+
+        self.cfg = cfg
+        self.resolution = resolution
+        self.params = jax.device_put(cast_tree(params, compute_dtype), device)
+        self.compute_dtype = compute_dtype
+
+
+def load_birefnet(env, kind: str) -> BiRefNetBundle:
+    from ..models.birefnet import BiRefNetConfig, init_birefnet
+
+    resolution = BIREFNET_RESOLUTION[kind]
+    cfg = BiRefNetConfig(img_size=resolution)
+    for name in BIREFNET_BUNDLES[kind]:
+        path = env.model_directory / "segmentation" / name
+        if path.exists():
+            return BiRefNetBundle(cfg, load_pytree(path), env.device,
+                                  env.compute_dtype, resolution)
+    if env.options.allow_random_weights:
+        params = init_birefnet(jax.random.PRNGKey(0), cfg)
+        return BiRefNetBundle(cfg, params, env.device, env.compute_dtype,
+                              resolution)
+    raise ModelNotFoundError(
+        f"Could not find any BiRefNet model in {env.model_directory}")
+
+
+def _build_birefnet_fn(bundle: BiRefNetBundle, bucket: int):
+    from ..models.birefnet import birefnet_apply
+
+    cfg = bundle.cfg
+    S = cfg.img_size
+
+    def run(params, canvas, sizes):
+        # Fused: dynamic resize to model resolution + ImageNet normalise.
+        img = canvas.astype(jnp.float32) / 255.0
+        R = resample_matrix(S, bucket, S, sizes[0], antialias=True)
+        C = resample_matrix(S, bucket, S, sizes[1], antialias=True)
+        x = jnp.einsum("ih,hwc->iwc", R, img,
+                       preferred_element_type=jnp.float32, precision=HIGHEST)
+        x = jnp.einsum("iwc,jw->ijc", x, C,
+                       preferred_element_type=jnp.float32, precision=HIGHEST)
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        x = ((x - mean) / std)[None].astype(bundle.compute_dtype)
+        logits = birefnet_apply(params, x, cfg)  # (1, S, S, 1)
+        return sigmoid_to_u8(logits[0, :, :, 0])
+
+    return jax.jit(run)
+
+
+def birefnet_segment(env, view: ImageView) -> Image:
+    """segment_objects implementation (dlimgedit.hpp:170-173)."""
+    extent = view.extent
+    kind = ("high_res" if extent.width > 1536 or extent.height > 1536
+            else "general")
+    bundle = env.birefnet_model(kind)
+    bucket = pick_bucket(extent)
+    canvas = pack_rgb_canvas(view, bucket)
+    sizes = np.array([extent.height, extent.width], np.int32)
+    run = env.executable(("birefnet", kind, bucket),
+                         lambda: _build_birefnet_fn(bundle, bucket))
+    mask_model = np.asarray(run(bundle.params,
+                                jax.device_put(canvas, env.device),
+                                jax.device_put(sizes, env.device)))
+    # Box-filter resize back to the original extent (image.cpp:53-62).
+    out = resize_mask(ImageView.from_array(mask_model, Channels.mask), extent)
+    return Image(extent, Channels.mask, out)

@@ -1,0 +1,138 @@
+"""Inference environment: backend selection, model registry, executable cache.
+
+Mirrors EnvironmentImpl (/root/reference/src/environment.cpp):
+  * backend capability probing (environment.cpp:29-122) -> JAX/PJRT platform
+    enumeration (`is_supported`)
+  * lazy, thread-safe model caching (environment.cpp:144-151, lazy.hpp)
+  * model directory convention: model_directory/segmentation/<name>.npz
+    (session.cpp:79-84's .onnx path resolution, with converted bundles)
+
+TPU-native additions: a jit-executable cache keyed on (program, bucket) so
+each image-size bucket compiles exactly once, and a compute-dtype policy
+(bf16 encoder weights on accelerators — the reference ships fp16 ONNX for
+GPU, models/segmentation/CMakeLists.txt:24-28).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import DlimgError, ModelNotFoundError
+from ..models import sam as sam_lib
+from ..models.common import cast_tree
+from ..types import Backend, Options
+from ..utils.pytree_io import load_pytree
+from .lazy import Lazy
+
+# Weight-bundle filenames per SAM variant (the analog of
+# mobile_sam_image_encoder.onnx / sam_mask_decoder_*.onnx).
+SAM_BUNDLES = {
+    "mobile_sam": "mobile_sam.npz",
+    "vit_b": "sam_vit_b.npz",
+    "vit_l": "sam_vit_l.npz",
+    "vit_h": "sam_vit_h.npz",
+}
+
+
+def _accelerator_devices():
+    try:
+        return [d for d in jax.devices() if d.platform not in ("cpu",)]
+    except RuntimeError:
+        return []
+
+
+def is_supported(backend: Backend) -> bool:
+    """Capability probe (Environment::is_supported, environment.cpp:29-122):
+    cpu is always available; the accelerator backend requires a non-CPU PJRT
+    device (TPU in this build)."""
+    if backend == Backend.cpu:
+        return True
+    return len(_accelerator_devices()) > 0
+
+
+class SamModelBundle:
+    """A loaded SAM variant: config + params resident on the target device."""
+
+    def __init__(self, cfg: sam_lib.SamConfig, params: Any, device,
+                 compute_dtype):
+        self.cfg = cfg
+        self.compute_dtype = compute_dtype
+        # Encoder weights follow the compute dtype (bf16 on TPU); the prompt
+        # encoder / decoder stay f32 (tiny + numerics-sensitive).
+        params = dict(params)
+        params["encoder"] = cast_tree(params["encoder"], compute_dtype)
+        self.params = jax.device_put(params, device)
+
+
+class Environment:
+    """Common inference infrastructure; caches models after first use
+    (dlimgedit.hpp:98-110). Thread-safe."""
+
+    def __init__(self, options: Optional[Options] = None):
+        self.options = options or Options()
+        self.model_directory = Path(self.options.model_directory)
+        if (not self.options.allow_random_weights
+                and not self.model_directory.is_dir()):
+            # verify_path (environment.cpp:17-26)
+            raise DlimgError(
+                f"Model path does not exist: {self.model_directory}")
+        if self.options.backend != Backend.cpu and not is_supported(
+                self.options.backend):
+            raise DlimgError("Accelerator backend requested but no TPU/"
+                             "accelerator device is available")
+        self.device = (
+            _accelerator_devices()[0]
+            if self.options.backend != Backend.cpu and is_supported(Backend.gpu)
+            else jax.devices("cpu")[0])
+        self.compute_dtype = jnp.dtype(self.options.compute_dtype)
+        self._sam_models: Dict[str, Lazy] = {v: Lazy() for v in SAM_BUNDLES}
+        self._birefnet_models: Dict[str, Lazy] = {
+            "general": Lazy(), "high_res": Lazy()}
+        self._executables: Dict[Tuple, Callable] = {}
+        self._exec_lock = threading.Lock()
+
+    # -- model registry ------------------------------------------------------
+
+    def sam_model(self, variant: str = "mobile_sam") -> SamModelBundle:
+        return self._sam_models[variant].get_or_create(
+            lambda: self._load_sam(variant))
+
+    def _load_sam(self, variant: str) -> SamModelBundle:
+        cfg = sam_lib.make_config(variant, image_size=self.options.sam_image_size)
+        path = self.model_directory / "segmentation" / SAM_BUNDLES[variant]
+        if path.exists():
+            params = load_pytree(path)
+        elif self.options.allow_random_weights:
+            params = sam_lib.init_sam(jax.random.PRNGKey(0), cfg)
+        else:
+            raise ModelNotFoundError(
+                f"Model file not found: {path} (convert a checkpoint with "
+                f"dlimgedit_tpu.convert, or set allow_random_weights)")
+        return SamModelBundle(cfg, params, self.device, self.compute_dtype)
+
+    def birefnet_model(self, kind: str = "general"):
+        from .birefnet import load_birefnet  # local import: optional model
+
+        return self._birefnet_models[kind].get_or_create(
+            lambda: load_birefnet(self, kind))
+
+    # -- executable cache ----------------------------------------------------
+
+    def executable(self, key: Tuple, build: Callable[[], Callable]) -> Callable:
+        """Get-or-compile a jitted program. One compile per key, ever."""
+        fn = self._executables.get(key)
+        if fn is not None:
+            return fn
+        with self._exec_lock:
+            fn = self._executables.get(key)
+            if fn is None:
+                fn = build()
+                self._executables[key] = fn
+        return fn

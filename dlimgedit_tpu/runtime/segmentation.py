@@ -1,0 +1,204 @@
+"""Interactive segmentation pipeline: embed once, query masks cheaply.
+
+Mirrors SegmentationImpl (/root/reference/src/segmentation.cpp:118-174) with
+the TPU-native structure from SURVEY.md §7:
+
+  * `process`     — ONE jitted XLA program: fused preprocess (resize-longest-
+                    side + channel map + normalise + pad, ops/preprocess.py)
+                    + image encoder. The embedding STAYS ON DEVICE — the
+                    Segmentation object is the resumable computation cache
+                    (segmentation.hpp:61).
+  * `compute_mask`— a second small jitted program: prompt encode + two-way
+                    decoder + fused upsample-to-original + threshold
+                    (ops/postprocess.py). Only the final uint8 mask canvas
+                    crosses back to the host.
+
+Shape discipline: one executable per (variant, canvas bucket) — any image
+size reuses a cached compile.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..image.resize import resize_longest_side_extent, transform_point
+from ..models import sam as sam_lib
+from ..ops.connected import largest_component_mask
+from ..ops.postprocess import threshold_mask, upsample_mask_logits
+from ..ops.preprocess import pack_rgb_canvas, pick_bucket, sam_preprocess
+from ..types import Channels, Extent, Image, ImageView, Point, Region
+from .environment import Environment
+
+
+@dataclass
+class Mask:
+    """A binary mask for a single object (dlimgedit.hpp:140-144)."""
+
+    image: Image
+    accuracy: float = 0.0
+
+
+def _build_embed_fn(bundle):
+    cfg = bundle.cfg
+
+    def run(params, canvas, sizes):
+        x = sam_preprocess(canvas, sizes[0], sizes[1], sizes[2], sizes[3],
+                           image_size=cfg.image_size,
+                           compute_dtype=bundle.compute_dtype)
+        emb = sam_lib.encode_image(params, cfg, x)
+        return emb.astype(jnp.float32)
+
+    return jax.jit(run)
+
+
+def _build_decode_fn(bundle, out_bucket: int, multimask: bool,
+                     largest_component: bool):
+    cfg = bundle.cfg
+
+    def run(params, emb, points, labels, sizes):
+        masks, iou = sam_lib.decode_masks(params, cfg, emb, points, labels,
+                                          multimask=multimask)
+        if multimask:
+            # The reference consumes decoder tokens 1..3
+            # (segmentation.cpp:166-173).
+            masks = masks[:, 1:4]
+            iou = iou[:, 1:4]
+        if largest_component:
+            def keep_largest(m):
+                keep = largest_component_mask(m > 0)
+                return jnp.where(keep, m, -10.0)
+
+            masks = jax.vmap(jax.vmap(keep_largest))(masks)
+        logits = upsample_mask_logits(masks, out_bucket, cfg.image_size,
+                                      sizes[0], sizes[1], sizes[2], sizes[3])
+        return threshold_mask(logits)[0], iou[0]
+
+    return jax.jit(run)
+
+
+class Segmentation:
+    """Holds a processed image embedding; queries masks for prompts
+    (dlimgedit.hpp:138-168)."""
+
+    def __init__(self, env: Environment, variant: str, embedding,
+                 original: Extent, scale: float, crop: Tuple[int, int]):
+        self._env = env
+        self._variant = variant
+        self._embedding = embedding  # (1, He, We, C) f32, on device
+        self._original = original
+        self._scale = scale
+        self._crop = crop  # (crop_h, crop_w) = resize-longest-side extent
+
+    # -- construction ---------------------------------------------------------
+
+    @staticmethod
+    def process(img: Union[Image, ImageView], env: Environment,
+                variant: Optional[str] = None) -> "Segmentation":
+        """Embed an image (the expensive step; hot path #1, SURVEY.md §3.2)."""
+        view = img.view() if isinstance(img, Image) else img
+        variant = variant or env.options.sam_variant
+        bundle = env.sam_model(variant)
+        cfg = bundle.cfg
+        extent = view.extent
+        bucket = pick_bucket(extent)
+        canvas = pack_rgb_canvas(view, bucket)
+        target, scale = resize_longest_side_extent(extent, cfg.image_size)
+        sizes = np.array([extent.height, extent.width,
+                          target.height, target.width], np.int32)
+        embed = env.executable(("embed", variant, bucket),
+                               lambda: _build_embed_fn(bundle))
+        canvas_d = jax.device_put(canvas, env.device)
+        emb = embed(bundle.params, canvas_d, jax.device_put(sizes, env.device))
+        return Segmentation(env, variant, emb, extent, scale,
+                            (target.height, target.width))
+
+    # -- queries ---------------------------------------------------------------
+
+    @property
+    def extent(self) -> Extent:
+        return self._original
+
+    @property
+    def embedding(self):
+        """The on-device image embedding (1, He, We, C)."""
+        return self._embedding
+
+    def _prompt_arrays(self, point: Optional[Point], region: Optional[Region]):
+        """Build the 2-point prompt protocol (segmentation.cpp:131-152)."""
+        points = np.zeros((1, 2, 2), np.float32)
+        labels = np.zeros((1, 2), np.float32)
+        if point is not None:
+            x, y = transform_point(point.x, point.y, self._scale)
+            points[0, 0] = (x, y)
+            labels[0, 0] = 1.0
+            points[0, 1] = (0.0, 0.0)
+            labels[0, 1] = -1.0
+        else:
+            assert region is not None
+            tlx, tly = transform_point(region.top_left.x, region.top_left.y,
+                                       self._scale)
+            brx, bry = transform_point(region.bottom_right.x,
+                                       region.bottom_right.y, self._scale)
+            points[0, 0] = (tlx, tly)
+            labels[0, 0] = 2.0
+            points[0, 1] = (brx, bry)
+            labels[0, 1] = 3.0
+        return points, labels
+
+    def _decode(self, point: Optional[Point], region: Optional[Region],
+                multimask: bool, largest_component: bool = False):
+        env = self._env
+        bundle = env.sam_model(self._variant)
+        bucket = pick_bucket(self._original)
+        points, labels = self._prompt_arrays(point, region)
+        sizes = np.array([self._original.height, self._original.width,
+                          self._crop[0], self._crop[1]], np.int32)
+        decode = env.executable(
+            ("decode", self._variant, bucket, multimask, largest_component),
+            lambda: _build_decode_fn(bundle, bucket, multimask,
+                                     largest_component))
+        mask_u8, iou = decode(bundle.params, self._embedding,
+                              jax.device_put(points, env.device),
+                              jax.device_put(labels, env.device),
+                              jax.device_put(sizes, env.device))
+        return np.asarray(mask_u8), np.asarray(iou)
+
+    def _to_mask_image(self, mask_canvas: np.ndarray) -> Image:
+        h, w = self._original.height, self._original.width
+        return Image(self._original, Channels.mask, mask_canvas[:h, :w])
+
+    def compute_mask(self, prompt: Union[Point, Region],
+                     largest_component: Optional[bool] = None) -> Image:
+        """Single best mask for a point or region prompt.
+
+        For Region prompts, `largest_component` (default: the environment's
+        option) keeps only the largest connected object inside the box — the
+        north-star extension over the reference's raw box prompt."""
+        is_region = isinstance(prompt, Region)
+        if largest_component is None:
+            largest_component = (is_region
+                                 and self._env.options.largest_region_object)
+        masks, _ = self._decode(
+            None if is_region else prompt,
+            prompt if is_region else None,
+            multimask=False, largest_component=largest_component)
+        return self._to_mask_image(masks[0])
+
+    def compute_masks(self, point: Point) -> List[Mask]:
+        """Three candidate masks with confidences (dlimgedit.hpp:152-157)."""
+        masks, iou = self._decode(point, None, multimask=True)
+        return [Mask(self._to_mask_image(masks[i]), float(iou[i]))
+                for i in range(3)]
+
+
+def segment_objects(img: Union[Image, ImageView], env: Environment) -> Image:
+    """Dichotomous foreground segmentation (BiRefNet; dlimgedit.hpp:170-173)."""
+    from .birefnet import birefnet_segment
+
+    view = img.view() if isinstance(img, Image) else img
+    return birefnet_segment(env, view)

@@ -180,6 +180,13 @@ class Options:
     allow_random_weights: bool = False
     # Compute dtype for encoder forward passes. bf16 is the TPU-native choice.
     compute_dtype: str = "bfloat16"
+    # SAM encoder variant: mobile_sam (reference default) / vit_b / vit_l / vit_h.
+    sam_variant: str = "mobile_sam"
+    # Model input resolution (1024 for all shipped SAM variants).
+    sam_image_size: int = 1024
+    # For Region prompts: keep only the largest connected object in the box
+    # (north-star extension; the reference returns the raw box-prompt mask).
+    largest_region_object: bool = False
 
 
 @dataclass(frozen=True)

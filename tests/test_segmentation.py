@@ -1,0 +1,123 @@
+"""End-to-end pipeline tests (random weights, small model resolution).
+
+Mirrors the integration tier of the reference's test strategy
+(test_segmentation.cpp SAM.segmentation[cpu]) minus golden-image comparison
+(goldens are git-lfs pointers here; architecture parity is covered by
+test_sam_parity.py). These tests exercise: Environment creation, lazy model
+loading, fused preprocess -> encoder -> cached embedding, prompt building,
+decoder -> fused postprocess -> host mask extraction, executable caching.
+"""
+
+import numpy as np
+import pytest
+
+from dlimgedit_tpu import (
+    Backend,
+    Channels,
+    Environment,
+    Extent,
+    Image,
+    Options,
+    Point,
+    Region,
+    Segmentation,
+    is_supported,
+)
+from dlimgedit_tpu.errors import DlimgError, ModelNotFoundError
+
+
+@pytest.fixture(scope="module")
+def env():
+    return Environment(Options(
+        backend=Backend.cpu,
+        allow_random_weights=True,
+        compute_dtype="float32",
+        sam_image_size=128,  # small model resolution: fast CPU compile
+    ))
+
+
+@pytest.fixture(scope="module")
+def seg(env):
+    rng = np.random.default_rng(0)
+    img = Image(Extent(96, 64), Channels.rgba,
+                rng.integers(0, 256, (64, 96, 4), dtype=np.uint8))
+    return Segmentation.process(img, env)
+
+
+def test_is_supported_cpu():
+    assert is_supported(Backend.cpu)
+
+
+def test_missing_model_dir_raises():
+    with pytest.raises(DlimgError):
+        Environment(Options(model_directory="/nonexistent/path"))
+
+
+def test_missing_bundle_raises(tmp_path):
+    (tmp_path / "segmentation").mkdir()
+    e = Environment(Options(model_directory=str(tmp_path)))
+    with pytest.raises(ModelNotFoundError):
+        e.sam_model("mobile_sam")
+
+
+def test_process_embedding_shape(env, seg):
+    assert seg.extent == Extent(96, 64)
+    # 128/16 = 8 embedding grid, 256 channels, on device, f32.
+    assert seg.embedding.shape == (1, 8, 8, 256)
+    assert str(seg.embedding.dtype) == "float32"
+
+
+def test_compute_mask_point(seg):
+    mask = seg.compute_mask(Point(48, 30))
+    assert mask.extent == Extent(96, 64)
+    assert mask.channels == Channels.mask
+    vals = np.unique(mask.pixels)
+    assert set(vals.tolist()) <= {0, 255}
+
+
+def test_compute_mask_region(seg):
+    mask = seg.compute_mask(Region(Point(10, 10), Point(80, 50)))
+    assert mask.extent == Extent(96, 64)
+    assert set(np.unique(mask.pixels).tolist()) <= {0, 255}
+
+
+def test_compute_mask_region_largest_component(seg):
+    mask = seg.compute_mask(Region(Point(10, 10), Point(80, 50)),
+                            largest_component=True)
+    assert mask.extent == Extent(96, 64)
+
+
+def test_compute_masks_multi(seg):
+    masks = seg.compute_masks(Point(48, 30))
+    assert len(masks) == 3
+    for m in masks:
+        assert m.image.extent == Extent(96, 64)
+        assert isinstance(m.accuracy, float)
+
+
+def test_executable_cache_reused(env, seg):
+    # Same bucket + mode -> no new compile entries beyond the first call.
+    n_before = len(env._executables)
+    seg.compute_mask(Point(5, 5))
+    seg.compute_mask(Point(90, 60))
+    assert len(env._executables) == n_before
+
+
+def test_different_image_sizes_share_bucket_executable(env):
+    rng = np.random.default_rng(1)
+    n_before = len(env._executables)
+    for extent in (Extent(64, 48), Extent(100, 70), Extent(128, 128)):
+        img = Image(extent, Channels.rgb,
+                    rng.integers(0, 256, (extent.height, extent.width, 3),
+                                 dtype=np.uint8))
+        s = Segmentation.process(img, env)
+        m = s.compute_mask(Point(10, 10))
+        assert m.extent == extent
+    # All three extents fall in the 128 bucket -> embed fn already cached.
+    assert len(env._executables) == n_before
+
+
+def test_mask_channel_protocol(seg):
+    # Masks use Channels::mask with values 0 or 255 (dlimgedit.hpp:141).
+    mask = seg.compute_mask(Point(48, 30))
+    assert mask.pixels.shape == (64, 96, 1)
