@@ -70,9 +70,9 @@ def linear_init(key, cin, cout, dtype=jnp.float32):
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding: int = 0,
            groups: int = 1) -> jnp.ndarray:
-    """NHWC conv with HWIO kernel."""
+    """NHWC conv with HWIO kernel (kernel follows the activation dtype)."""
     return jax.lax.conv_general_dilated(
-        x, w,
+        x, w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -123,7 +123,7 @@ def init_conv_bn(key, cin, cout, ks, groups: int = 1, bn_weight_init: float = 1.
 def conv_bn(params: Params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
             groups: int = 1) -> jnp.ndarray:
     y = conv2d(x, params["w"], stride, padding, groups)
-    return y * params["scale"] + params["bias"]
+    return y * params["scale"].astype(y.dtype) + params["bias"].astype(y.dtype)
 
 
 def init_layer_norm(dim, dtype=jnp.float32) -> Params:

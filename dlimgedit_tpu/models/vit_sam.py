@@ -189,7 +189,7 @@ def sam_vit_apply(params: Params, x: jnp.ndarray, cfg: SamViTConfig
                   ) -> jnp.ndarray:
     """x: (B, S, S, 3) normalised pixels -> (B, S/16, S/16, neck_dim)."""
     pe = params["patch_embed"]
-    x = conv2d(x, pe["w"].astype(x.dtype), stride=cfg.patch_size) + pe["b"]
+    x = conv2d(x, pe["w"], stride=cfg.patch_size) + pe["b"].astype(x.dtype)
     if cfg.use_abs_pos and "pos_embed" in params:
         x = x + params["pos_embed"].astype(x.dtype)
     for i, bp in enumerate(params["blocks"]):

@@ -1,0 +1,50 @@
+"""Batched / streaming multi-device execution (BASELINE configs 3 & 5).
+
+  * `encode_frames` — data-parallel image embedding over a device mesh:
+    the streaming-frames config ("per-frame embeddings + interactive mask
+    edits, pmap over frames"), expressed with jit + NamedSharding (the
+    modern replacement for pmap: XLA partitions the batch over dp and the
+    tensor-parallel encoder weights over tp in ONE program).
+  * `decode_prompt_batch` — many prompts against one cached embedding
+    (config 3: "batched multi-point mask decode"), a single vmapped decode.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import sam as sam_lib
+from .mesh import batch_sharding, make_mesh, replicated, sam_param_sharding
+
+
+def encode_frames(params, cfg: sam_lib.SamConfig, frames: jnp.ndarray,
+                  mesh=None):
+    """frames: (B, S, S, 3) preprocessed pixels, B divisible by mesh dp.
+    Returns (B, S/16, S/16, 256) embeddings, batch-sharded over dp."""
+    mesh = mesh or make_mesh()
+    p_shard = sam_param_sharding(params, mesh)
+    fn = jax.jit(
+        lambda p, x: sam_lib.encode_image(p, cfg, x),
+        in_shardings=(p_shard, batch_sharding(mesh, 4)),
+        out_shardings=batch_sharding(mesh, 4),
+    )
+    return fn(params, frames)
+
+
+def decode_prompt_batch(params, cfg: sam_lib.SamConfig, embedding,
+                        point_coords, point_labels, multimask: bool = False):
+    """Decode N prompts against ONE embedding in a single XLA program.
+
+    embedding: (1, He, We, C); point_coords: (N, 2, 2); point_labels: (N, 2).
+    Returns (masks (N, T, 4He, 4We), iou (N, T)). The image embedding is
+    broadcast inside the program — no N-fold HBM duplication."""
+
+    def one(pc, pl):
+        m, i = sam_lib.decode_masks(params, cfg, embedding, pc[None], pl[None],
+                                    multimask=multimask)
+        return m[0], i[0]
+
+    return jax.vmap(one)(point_coords, point_labels)

@@ -1,0 +1,3 @@
+from .step import TrainConfig, init_train_state, make_train_step, mask_loss
+
+__all__ = ["TrainConfig", "init_train_state", "make_train_step", "mask_loss"]

@@ -1,0 +1,129 @@
+"""Sharded SAM fine-tuning step (decoder fine-tune / distillation).
+
+The reference is inference-only (SURVEY.md §5: no training, no checkpoint);
+this module is the TPU-native training counterpart used for adapting the
+mask decoder to new domains (the standard SAM fine-tuning recipe: focal +
+dice loss on mask logits, MSE on predicted IoU) and for the multi-chip
+dry-run: the full step — encoder forward, decoder forward, backward, optax
+update — jits over a (dp, tp) mesh with GSPMD shardings from parallel/mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import sam as sam_lib
+from ..parallel.mesh import batch_sharding, replicated, sam_param_sharding
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    dice_weight: float = 1.0
+    focal_weight: float = 20.0
+    iou_weight: float = 1.0
+
+
+def _focal_loss(logits, targets, alpha, gamma):
+    p = jax.nn.sigmoid(logits)
+    ce = optax.sigmoid_binary_cross_entropy(logits, targets)
+    p_t = p * targets + (1 - p) * (1 - targets)
+    a_t = alpha * targets + (1 - alpha) * (1 - targets)
+    return jnp.mean(a_t * (1 - p_t) ** gamma * ce)
+
+
+def _dice_loss(logits, targets, eps=1.0):
+    p = jax.nn.sigmoid(logits)
+    num = 2 * jnp.sum(p * targets, axis=(-2, -1)) + eps
+    den = jnp.sum(p, axis=(-2, -1)) + jnp.sum(targets, axis=(-2, -1)) + eps
+    return jnp.mean(1 - num / den)
+
+
+def mask_loss(params, cfg: sam_lib.SamConfig, batch: Dict[str, jnp.ndarray],
+              tcfg: TrainConfig = TrainConfig()) -> Tuple[jnp.ndarray, Dict]:
+    """batch: images (B,S,S,3) preprocessed, point_coords (B,2,2),
+    point_labels (B,2), masks (B,L,L) binary targets at low-res."""
+    emb = sam_lib.encode_image(params, cfg, batch["images"])
+    pred, iou_pred = sam_lib.decode_masks(
+        params, cfg, emb.astype(jnp.float32), batch["point_coords"],
+        batch["point_labels"], multimask=False)
+    logits = pred[:, 0]  # (B, L, L)
+    targets = batch["masks"].astype(jnp.float32)
+    focal = _focal_loss(logits, targets, tcfg.focal_alpha, tcfg.focal_gamma)
+    dice = _dice_loss(logits, targets)
+    # IoU head regression against the actual IoU of the predicted mask.
+    pred_bin = (logits > 0).astype(jnp.float32)
+    inter = jnp.sum(pred_bin * targets, axis=(-2, -1))
+    union = jnp.sum(jnp.maximum(pred_bin, targets), axis=(-2, -1))
+    actual_iou = inter / jnp.maximum(union, 1.0)
+    iou_l = jnp.mean((iou_pred[:, 0] - actual_iou) ** 2)
+    loss = (tcfg.focal_weight * focal + tcfg.dice_weight * dice
+            + tcfg.iou_weight * iou_l)
+    return loss, {"focal": focal, "dice": dice, "iou_mse": iou_l}
+
+
+def make_optimizer(tcfg: TrainConfig = TrainConfig()):
+    return optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay)
+
+
+def init_train_state(params, tcfg: TrainConfig = TrainConfig()):
+    return make_optimizer(tcfg).init(params)
+
+
+def make_train_step(cfg: sam_lib.SamConfig, tcfg: TrainConfig = TrainConfig(),
+                    mesh=None, donate: bool = True):
+    """Build the jitted (optionally mesh-sharded) train step.
+
+    With a mesh: params/opt-state take the tensor-parallel shardings from
+    parallel/mesh (Megatron column/row pattern), the batch is dp-sharded, and
+    XLA inserts all ICI collectives (gradient psum over dp rides the mesh).
+    """
+    opt = make_optimizer(tcfg)
+
+    def step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(mask_loss, has_aux=True)(
+            params, cfg, batch, tcfg)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def place_train_state(params, opt_state, batch, mesh):
+    """Place params / optimizer state / batch on the mesh with the GSPMD
+    shardings from parallel/mesh (Megatron tp for big projections, dp for the
+    batch). The jitted step inherits these shardings from its inputs and XLA
+    inserts all collectives — the idiomatic "shardings ride on the data"
+    pattern (no per-optimizer sharding trees to maintain)."""
+    p_shard = sam_param_sharding(params, mesh)
+    p_struct = jax.tree_util.tree_structure(params)
+    params = jax.device_put(params, p_shard)
+
+    def place_opt(node):
+        if hasattr(node, "_fields"):  # optax NamedTuple state
+            return type(node)(*(place_opt(x) for x in node))
+        if isinstance(node, tuple):
+            return tuple(place_opt(x) for x in node)
+        if isinstance(node, (dict, list)):
+            # Adam mu/nu mirror the param tree -> reuse the param shardings.
+            if jax.tree_util.tree_structure(node) == p_struct:
+                return jax.device_put(node, p_shard)
+            return jax.tree_util.tree_map(
+                lambda leaf: jax.device_put(leaf, replicated(mesh)), node)
+        return jax.device_put(node, replicated(mesh))
+
+    opt_state = place_opt(opt_state)
+    batch = {
+        k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+        for k, v in batch.items()
+    }
+    return params, opt_state, batch

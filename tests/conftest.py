@@ -13,8 +13,16 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
 import numpy as np
 import pytest
+
+# The axon TPU plugin ignores JAX_PLATFORMS; pin placement to CPU explicitly
+# so tests are hermetic (the TPU path is exercised by bench.py / the driver).
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,89 @@
+"""BiRefNet tests: Swin backbone shapes/invariants + full segment_objects
+pipeline with random weights (small resolution)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dlimgedit_tpu.models.birefnet import (
+    BiRefNetConfig,
+    birefnet_apply,
+    init_birefnet,
+)
+from dlimgedit_tpu.models.swin import SwinConfig, init_swin, swin_apply
+
+
+def test_swin_pyramid_shapes():
+    cfg = SwinConfig(embed_dim=24, depths=(1, 1, 1, 1), num_heads=(2, 2, 4, 4),
+                     window=4)
+    params = init_swin(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    feats = swin_apply(params, x, cfg)
+    assert [f.shape for f in feats] == [
+        (1, 16, 16, 24), (1, 8, 8, 48), (1, 4, 4, 96), (1, 2, 2, 192)]
+
+
+def test_swin_shifted_window_mask_isolation():
+    """Shifted-window attention must not mix non-adjacent regions: a constant
+    input stays constant through attention (softmax weights sum to 1 over
+    any region)."""
+    cfg = SwinConfig(embed_dim=8, depths=(2, 1, 1, 1), num_heads=(2, 2, 2, 2),
+                     window=4)
+    params = init_swin(jax.random.PRNGKey(1), cfg)
+    x = jnp.ones((1, 32, 32, 3))
+    feats = swin_apply(params, x, cfg)
+    # Constant input + LN + shared weights => spatially-constant features.
+    f = np.asarray(feats[0])
+    np.testing.assert_allclose(f, np.broadcast_to(f[:, :1, :1, :], f.shape),
+                               atol=1e-4)
+
+
+def test_birefnet_logits_shape():
+    cfg = BiRefNetConfig(img_size=64)
+    params = init_birefnet(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    out = birefnet_apply(params, x, cfg)
+    assert out.shape == (1, 64, 64, 1)
+    assert out.dtype == jnp.float32
+
+
+def test_segment_objects_pipeline():
+    from dlimgedit_tpu import (
+        Backend, Channels, Environment, Extent, Image, Options,
+        segment_objects,
+    )
+    import dlimgedit_tpu.runtime.birefnet as rb
+
+    # Shrink the model resolution for test speed.
+    orig = dict(rb.BIREFNET_RESOLUTION)
+    rb.BIREFNET_RESOLUTION["general"] = 64
+    try:
+        env = Environment(Options(backend=Backend.cpu,
+                                  allow_random_weights=True,
+                                  compute_dtype="float32"))
+        rng = np.random.default_rng(0)
+        img = Image(Extent(96, 48), Channels.rgb,
+                    rng.integers(0, 256, (48, 96, 3), dtype=np.uint8))
+        mask = segment_objects(img, env)
+        assert mask.extent == Extent(96, 48)
+        assert mask.channels == Channels.mask
+        assert mask.pixels.min() >= 0 and mask.pixels.max() <= 255
+    finally:
+        rb.BIREFNET_RESOLUTION.update(orig)
+
+
+def test_birefnet_kind_escalation():
+    """Inputs > 1536 px must select the high-res model
+    (segmentation.cpp:222-225)."""
+    from dlimgedit_tpu.types import Extent
+
+    def kind_for(extent):
+        return ("high_res" if extent.width > 1536 or extent.height > 1536
+                else "general")
+
+    assert kind_for(Extent(1024, 1024)) == "general"
+    assert kind_for(Extent(1536, 1536)) == "general"
+    assert kind_for(Extent(1537, 100)) == "high_res"
+    assert kind_for(Extent(100, 1800)) == "high_res"
