@@ -162,11 +162,11 @@ class Segmentation:
             ("decode", self._variant, bucket, multimask, largest_component),
             lambda: _build_decode_fn(bundle, bucket, multimask,
                                      largest_component))
-        mask_u8, iou = decode(bundle.params, self._embedding,
-                              jax.device_put(points, env.device),
-                              jax.device_put(labels, env.device),
-                              jax.device_put(sizes, env.device))
-        return np.asarray(mask_u8), np.asarray(iou)
+        # ONE device_get for both outputs: through remote-attached TPUs every
+        # D2H fetch is a ~tens-of-ms RPC, so fetch count dominates latency.
+        mask_u8, iou = jax.device_get(
+            decode(bundle.params, self._embedding, points, labels, sizes))
+        return mask_u8, iou
 
     def _to_mask_image(self, mask_canvas: np.ndarray) -> Image:
         h, w = self._original.height, self._original.width

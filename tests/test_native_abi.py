@@ -1,0 +1,185 @@
+"""C ABI tests: load libdlimgedit_tpu.so via ctypes and exercise the full
+dlimg_Api table — the rebuild's equivalent of running the reference's C++
+test suite against the library (SURVEY.md §7 step 5).
+
+The shim detects the already-running interpreter (the pytest process) and
+uses it instead of spawning one, so these tests cover the exact marshalling
+paths the standalone C++ embedder uses.
+"""
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+SO_PATH = REPO / "native" / "build" / "libdlimgedit_tpu.so"
+
+
+class DlimgImageView(ctypes.Structure):
+    _fields_ = [("width", ctypes.c_int), ("height", ctypes.c_int),
+                ("channels", ctypes.c_int), ("stride", ctypes.c_int),
+                ("pixels", ctypes.POINTER(ctypes.c_uint8))]
+
+
+class DlimgOptions(ctypes.Structure):
+    _fields_ = [("backend", ctypes.c_int),
+                ("model_directory", ctypes.c_char_p)]
+
+
+class DlimgApi(ctypes.Structure):
+    _fields_ = [
+        ("is_backend_supported", ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_int)),
+        ("create_environment", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(DlimgOptions))),
+        ("destroy_environment", ctypes.CFUNCTYPE(None, ctypes.c_void_p)),
+        ("process_image_for_segmentation", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(DlimgImageView), ctypes.c_void_p)),
+        ("get_segmentation_mask", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_float))),
+        ("get_segmentation_extent", ctypes.CFUNCTYPE(
+            None, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int))),
+        ("destroy_segmentation", ctypes.CFUNCTYPE(None, ctypes.c_void_p)),
+        ("segment_objects", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.POINTER(DlimgImageView),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_void_p)),
+        ("load_image", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)))),
+        ("save_image", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.POINTER(DlimgImageView), ctypes.c_char_p)),
+        ("create_image", ctypes.CFUNCTYPE(
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int)),
+        ("destroy_image", ctypes.CFUNCTYPE(
+            None, ctypes.POINTER(ctypes.c_uint8))),
+        ("last_error", ctypes.CFUNCTYPE(ctypes.c_char_p)),
+    ]
+
+
+@pytest.fixture(scope="module")
+def api():
+    if not SO_PATH.exists():
+        r = subprocess.run(
+            ["bash", "-c",
+             f"cmake -S {REPO}/native -B {REPO}/native/build -G Ninja && "
+             f"cmake --build {REPO}/native/build"],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"native build failed: {r.stderr[-500:]}")
+    os.environ["DLIMG_ALLOW_RANDOM_WEIGHTS"] = "1"
+    os.environ["DLIMG_SAM_IMAGE_SIZE"] = "128"
+    os.environ["DLIMG_COMPUTE_DTYPE"] = "float32"
+    lib = ctypes.CDLL(str(SO_PATH))
+    lib.dlimg_init.restype = ctypes.POINTER(DlimgApi)
+    return lib.dlimg_init().contents
+
+
+@pytest.fixture(scope="module")
+def env(api):
+    opts = DlimgOptions(backend=0, model_directory=b"models")
+    handle = ctypes.c_void_p()
+    rc = api.create_environment(ctypes.byref(handle), ctypes.byref(opts))
+    assert rc == 0, api.last_error().decode()
+    yield handle
+    api.destroy_environment(handle)
+
+
+def _view(arr: np.ndarray, channels: int) -> DlimgImageView:
+    h, w = arr.shape[:2]
+    return DlimgImageView(
+        width=w, height=h, channels=channels, stride=0,
+        pixels=arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+
+
+def test_backend_supported(api):
+    assert api.is_backend_supported(0) == 1  # cpu always
+
+
+def test_create_environment_error_path(api):
+    opts = DlimgOptions(backend=0, model_directory=b"/nonexistent/xyz")
+    os.environ["DLIMG_ALLOW_RANDOM_WEIGHTS"] = "0"
+    try:
+        handle = ctypes.c_void_p()
+        rc = api.create_environment(ctypes.byref(handle), ctypes.byref(opts))
+        assert rc == 1
+        assert b"not exist" in api.last_error() or api.last_error()
+    finally:
+        os.environ["DLIMG_ALLOW_RANDOM_WEIGHTS"] = "1"
+
+
+def test_segmentation_roundtrip(api, env):
+    rng = np.random.default_rng(0)
+    arr = np.ascontiguousarray(
+        rng.integers(0, 256, (48, 64, 4), dtype=np.uint8))
+    seg = ctypes.c_void_p()
+    view = _view(arr, 4)
+    rc = api.process_image_for_segmentation(ctypes.byref(seg),
+                                            ctypes.byref(view), env)
+    assert rc == 0, api.last_error().decode()
+
+    extent = (ctypes.c_int * 2)()
+    api.get_segmentation_extent(seg, extent)
+    assert (extent[0], extent[1]) == (64, 48)
+
+    # Single mask from a point prompt.
+    mask = np.zeros(48 * 64, np.uint8)
+    out_masks = (ctypes.POINTER(ctypes.c_uint8) * 3)(
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), None, None)
+    acc = (ctypes.c_float * 3)()
+    point = (ctypes.c_int * 2)(32, 24)
+    rc = api.get_segmentation_mask(seg, point, None, out_masks, acc)
+    assert rc == 0, api.last_error().decode()
+    assert set(np.unique(mask)) <= {0, 255}
+
+    # Region prompt.
+    region = (ctypes.c_int * 4)(5, 5, 60, 40)
+    rc = api.get_segmentation_mask(seg, None, region, out_masks, acc)
+    assert rc == 0, api.last_error().decode()
+
+    # Multi-mask: 3 buffers + accuracies.
+    bufs = [np.zeros(48 * 64, np.uint8) for _ in range(3)]
+    out3 = (ctypes.POINTER(ctypes.c_uint8) * 3)(
+        *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for b in bufs])
+    rc = api.get_segmentation_mask(seg, point, None, out3, acc)
+    assert rc == 0, api.last_error().decode()
+    api.destroy_segmentation(seg)
+
+
+def test_image_codecs_roundtrip(api, tmp_path):
+    rng = np.random.default_rng(1)
+    arr = np.ascontiguousarray(rng.integers(0, 256, (10, 12, 3),
+                                            dtype=np.uint8))
+    path = str(tmp_path / "roundtrip.png").encode()
+    rc = api.save_image(ctypes.byref(_view(arr, 3)), path)
+    assert rc == 0, api.last_error().decode()
+
+    extent = (ctypes.c_int * 2)()
+    channels = ctypes.c_int()
+    pixels = ctypes.POINTER(ctypes.c_uint8)()
+    rc = api.load_image(path, extent, ctypes.byref(channels),
+                        ctypes.byref(pixels))
+    assert rc == 0, api.last_error().decode()
+    assert (extent[0], extent[1], channels.value) == (12, 10, 3)
+    loaded = np.ctypeslib.as_array(pixels, shape=(10, 12, 3))
+    np.testing.assert_array_equal(loaded, arr)
+    api.destroy_image(pixels)
+
+    rc = api.load_image(b"/nonexistent.png", extent, ctypes.byref(channels),
+                        ctypes.byref(pixels))
+    assert rc == 1
+
+
+def test_create_destroy_image(api):
+    p = api.create_image(8, 6, 4)
+    assert p
+    api.destroy_image(p)
