@@ -97,6 +97,9 @@ class Environment:
             "general": Lazy(), "high_res": Lazy()}
         self._executables: Dict[Tuple, Callable] = {}
         self._exec_lock = threading.Lock()
+        from ..utils.profiling import Profiler
+
+        self.profiler = Profiler(enabled=self.options.enable_profiling)
 
     # -- model registry ------------------------------------------------------
 
@@ -133,6 +136,6 @@ class Environment:
         with self._exec_lock:
             fn = self._executables.get(key)
             if fn is None:
-                fn = build()
+                fn = self.profiler.wrap("/".join(str(k) for k in key), build())
                 self._executables[key] = fn
         return fn

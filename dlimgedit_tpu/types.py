@@ -187,6 +187,8 @@ class Options:
     # For Region prompts: keep only the largest connected object in the box
     # (north-star extension; the reference returns the raw box-prompt mask).
     largest_region_object: bool = False
+    # Record per-executable call latencies (Environment.profiler.report()).
+    enable_profiling: bool = False
 
 
 @dataclass(frozen=True)
