@@ -50,6 +50,12 @@ class SamViTConfig:
     use_abs_pos: bool = True
     use_rel_pos: bool = True
     layer_norm_eps: float = 1e-6
+    # Use the Pallas flash-attention kernel (ops/flash_attention.py) for the
+    # global-attention blocks. Set by the Environment when running on TPU;
+    # the dense path remains the CPU/test reference.
+    use_flash_attention: bool = False
+    # Run the Pallas kernel in interpreter mode (CPU testing only).
+    flash_interpret: bool = False
 
     @property
     def grid(self) -> int:
@@ -147,21 +153,41 @@ def _decomposed_rel_pos_bias(q: jnp.ndarray, rel_pos_h: jnp.ndarray,
 
 
 def _vit_attention(params: Params, x: jnp.ndarray, num_heads: int,
-                   use_rel_pos: bool) -> jnp.ndarray:
+                   use_rel_pos: bool, use_flash: bool = False,
+                   flash_interpret: bool = False) -> jnp.ndarray:
     """x: (B*, h, w, C) -> same shape."""
     Bn, h, w, C = x.shape
     hd = C // num_heads
     qkv = linear(params["qkv"], x.reshape(Bn, h * w, C))
     qkv = qkv.reshape(Bn, h * w, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # (Bn, nh, hw, hd)
-    attn = jnp.einsum("bnqd,bnkd->bnqk", q, k,
-                      preferred_element_type=jnp.float32, precision=HIGHEST) * (hd ** -0.5)
-    if use_rel_pos:
-        attn = attn + _decomposed_rel_pos_bias(q, params["rel_pos_h"],
-                                               params["rel_pos_w"], h, w)
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-    out = jnp.einsum("bnqk,bnkd->bnqd", attn, v,
-                     preferred_element_type=jnp.float32, precision=HIGHEST).astype(v.dtype)
+
+    if use_flash and use_rel_pos:
+        # Pallas kernel: bias reconstructed in-tile, nothing quadratic in HBM.
+        from ..ops.flash_attention import flash_attention_relpos
+
+        idx_h = np.arange(h)[:, None] - np.arange(h)[None, :] + (h - 1)
+        idx_w = np.arange(w)[:, None] - np.arange(w)[None, :] + (w - 1)
+        rh = jnp.take(params["rel_pos_h"], jnp.asarray(idx_h), axis=0)
+        rw = jnp.take(params["rel_pos_w"], jnp.asarray(idx_w), axis=0)
+        out = flash_attention_relpos(
+            q.reshape(Bn * num_heads, h * w, hd),
+            k.reshape(Bn * num_heads, h * w, hd),
+            v.reshape(Bn * num_heads, h * w, hd),
+            rh.astype(q.dtype), rw.astype(q.dtype), grid_h=h, grid_w=w,
+            interpret=flash_interpret)
+        out = out.reshape(Bn, num_heads, h * w, hd)
+    else:
+        attn = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                          preferred_element_type=jnp.float32,
+                          precision=HIGHEST) * (hd ** -0.5)
+        if use_rel_pos:
+            attn = attn + _decomposed_rel_pos_bias(q, params["rel_pos_h"],
+                                                   params["rel_pos_w"], h, w)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bnqk,bnkd->bnqd", attn, v,
+                         preferred_element_type=jnp.float32,
+                         precision=HIGHEST).astype(v.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(Bn, h, w, C)
     return linear(params["proj"], out)
 
@@ -178,7 +204,9 @@ def _vit_block(params: Params, x: jnp.ndarray, cfg: SamViTConfig, window: int
         x = _window_unpartition(wx.reshape(-1, window * window, C), window, meta,
                                 H, W, C)
     else:
-        x = _vit_attention(params, x, cfg.num_heads, cfg.use_rel_pos)
+        x = _vit_attention(params, x, cfg.num_heads, cfg.use_rel_pos,
+                           use_flash=cfg.use_flash_attention,
+                           flash_interpret=cfg.flash_interpret)
     x = shortcut + x
     y = layer_norm(params["norm2"], x, eps=cfg.layer_norm_eps)
     y = linear(params["mlp"]["lin2"], gelu(linear(params["mlp"]["lin1"], y)))

@@ -1,0 +1,57 @@
+"""Pallas rel-pos attention kernel vs the dense reference (interpret mode on
+CPU; the real-TPU path is exercised by bench.py / the driver)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dlimgedit_tpu.ops.flash_attention import (
+    attention_reference,
+    flash_attention_relpos,
+)
+
+
+@pytest.mark.parametrize("shape", [(3, 4, 8, 16), (2, 5, 6, 8), (1, 8, 8, 32)])
+def test_kernel_matches_dense(shape):
+    BH, gh, gw, hd = shape
+    N = gh * gw
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.standard_normal((BH, N, hd)).astype(np.float32))
+               for _ in range(3))
+    rh = jnp.asarray(rng.standard_normal((gh, gh, hd)).astype(np.float32) * 0.3)
+    rw = jnp.asarray(rng.standard_normal((gw, gw, hd)).astype(np.float32) * 0.3)
+    ref = attention_reference(q, k, v, rh, rw, gh, gw)
+    out = flash_attention_relpos(q, k, v, rh, rw, grid_h=gh, grid_w=gw,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_vit_flash_path_matches_dense():
+    """sam_vit_apply with the flash path == the dense path."""
+    import dataclasses
+
+    from dlimgedit_tpu.models.vit_sam import (
+        SamViTConfig,
+        init_sam_vit,
+        sam_vit_apply,
+    )
+
+    cfg = SamViTConfig(img_size=64, patch_size=16, embed_dim=32, depth=2,
+                       num_heads=2, window_size=0, global_attn_indexes=(0, 1),
+                       neck_dim=32)
+    params = init_sam_vit(jax.random.PRNGKey(0), cfg)
+    # Non-zero rel-pos tables so the bias actually matters.
+    for b in params["blocks"]:
+        b["rel_pos_h"] = 0.3 * jax.random.normal(jax.random.PRNGKey(1),
+                                                 b["rel_pos_h"].shape)
+        b["rel_pos_w"] = 0.3 * jax.random.normal(jax.random.PRNGKey(2),
+                                                 b["rel_pos_w"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    dense = sam_vit_apply(params, x, cfg)
+    flash_cfg = dataclasses.replace(cfg, use_flash_attention=True,
+                                    flash_interpret=True)
+    flash = sam_vit_apply(params, x, flash_cfg)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                               atol=5e-5, rtol=1e-4)
