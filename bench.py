@@ -82,37 +82,85 @@ def main():
     it = iter(pts * 2)
     mask_ms = median_ms(lambda: seg.compute_mask(next(it)), args.iters)
 
-    # --- device-dispatch-only latencies (no host fetch) ----------------------
+    # --- true device-execution latencies (chained: on remote-attached TPUs
+    # block_until_ready acknowledges dispatch, so each iteration's output
+    # feeds the next inside one program and we fetch once at the end) -------
+    import jax.numpy as jnp
+    from jax import lax
+
+    from dlimgedit_tpu.models import sam as sam_lib
+    from dlimgedit_tpu.ops.preprocess import sam_preprocess
+
     bundle = env.sam_model(args.variant)
+    cfg = bundle.cfg
     bucket = pick_bucket(dl.Extent(args.size, args.size))
-    canvas = pack_rgb_canvas(img.view(), bucket)
-    sizes = np.array([args.size] * 4, np.int32)
+    canvas = jax.device_put(pack_rgb_canvas(img.view(), bucket), env.device)
+    sizes = jax.device_put(np.array([args.size] * 4, np.int32), env.device)
+    NCH = 10
+
+    def chained_process(params, canvas, sizes):
+        def body(i, acc):
+            x = sam_preprocess(canvas, sizes[0] + (acc * 1e-20).astype(jnp.int32),
+                               sizes[1], sizes[2], sizes[3],
+                               image_size=cfg.image_size,
+                               compute_dtype=bundle.compute_dtype)
+            e = sam_lib.encode_image(params, cfg, x)
+            return jnp.sum(e.astype(jnp.float32))
+        return lax.fori_loop(0, NCH, body, jnp.float32(0))
+
+    f = jax.jit(chained_process)
+    jax.device_get(f(bundle.params, canvas, sizes))
+    t0 = time.perf_counter()
+    jax.device_get(f(bundle.params, canvas, sizes))
+    dev_process_ms = (time.perf_counter() - t0) * 1e3 / NCH
+
     embed = _build_embed_fn(bundle)
     emb = embed(bundle.params, canvas, sizes)
-    emb.block_until_ready()
-    dev_process_ms = median_ms(
-        lambda: embed(bundle.params, canvas, sizes).block_until_ready(),
-        args.iters)
-    dec = _build_decode_fn(bundle, bucket, False, False)
-    points = np.array([[[512.0, 512.0], [0.0, 0.0]]], np.float32)
-    labels = np.array([[1.0, -1.0]], np.float32)
-    jax.block_until_ready(dec(bundle.params, emb, points, labels, sizes))
-    dev_mask_ms = median_ms(
-        lambda: jax.block_until_ready(
-            dec(bundle.params, emb, points, labels, sizes)), args.iters)
+    points = jax.device_put(np.array([[[512.0, 512.0], [0.0, 0.0]]],
+                                     np.float32), env.device)
+    labels = jax.device_put(np.array([[1.0, -1.0]], np.float32), env.device)
+
+    def chained_decode(params, emb, points, labels, sizes):
+        from dlimgedit_tpu.ops.postprocess import (
+            threshold_mask, upsample_mask_logits)
+
+        def body(i, acc):
+            m, iou = sam_lib.decode_masks(
+                params, cfg, emb + acc * 1e-20, points, labels,
+                multimask=False)
+            logits = upsample_mask_logits(m, bucket, cfg.image_size, sizes[0],
+                                          sizes[1], sizes[2], sizes[3])
+            u8 = threshold_mask(logits)
+            return jnp.sum(u8.astype(jnp.float32)) * 1e-9 + jnp.sum(iou)
+        return lax.fori_loop(0, NCH, body, jnp.float32(0))
+
+    g = jax.jit(chained_decode)
+    jax.device_get(g(bundle.params, emb, points, labels, sizes))
+    t0 = time.perf_counter()
+    jax.device_get(g(bundle.params, emb, points, labels, sizes))
+    dev_mask_ms = (time.perf_counter() - t0) * 1e3 / NCH
 
     platform = jax.devices()[0].platform
     baseline_process_ms = 50.0  # reference GPU (README.md:35)
+    # Honest latency: true device execution + host-side overhead (packing,
+    # H2D, dispatch — `process_ms` measures exactly that on remote-attached
+    # TPUs where readiness acks at dispatch).
+    total_process = dev_process_ms + process_ms
+    # compute_mask e2e already includes the D2H fetch, which forces real
+    # completion — it IS the true end-to-end latency.
+    total_mask = mask_ms
     print(json.dumps({
         "metric": f"SAM {args.variant} Segmentation::process ms/image "
                   f"@{args.size}px ({platform})",
-        "value": round(process_ms, 3),
+        "value": round(total_process, 3),
         "unit": "ms",
-        "vs_baseline": round(baseline_process_ms / process_ms, 3),
-        "compute_mask_ms": round(mask_ms, 3),
-        "compute_mask_vs_baseline": round(12.0 / mask_ms, 3),
+        "vs_baseline": round(baseline_process_ms / total_process, 3),
+        "compute_mask_ms": round(total_mask, 3),
+        "compute_mask_vs_baseline": round(12.0 / total_mask, 3),
         "device_process_ms": round(dev_process_ms, 3),
         "device_compute_mask_ms": round(dev_mask_ms, 3),
+        "host_process_overhead_ms": round(process_ms, 3),
+        "host_mask_overhead_ms": round(mask_ms, 3),
         "platform": platform,
     }))
 

@@ -1,0 +1,35 @@
+"""Runs the standalone C++ public-API smoke test (native/test/test_cpp_api.cpp)
+— a separate process embedding its own Python interpreter, i.e. the exact
+deployment shape of a C++ client of libdlimgedit_tpu.so."""
+
+import os
+import subprocess
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+BIN = REPO / "native" / "build" / "test_cpp_api"
+
+
+def test_cpp_api_end_to_end():
+    if not BIN.exists():
+        r = subprocess.run(
+            ["bash", "-c",
+             f"cmake -S {REPO}/native -B {REPO}/native/build -G Ninja && "
+             f"cmake --build {REPO}/native/build"],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"native build failed: {r.stderr[-500:]}")
+    env = dict(os.environ)
+    env.update({
+        "DLIMG_ALLOW_RANDOM_WEIGHTS": "1",
+        "DLIMG_SAM_IMAGE_SIZE": "128",
+        "DLIMG_COMPUTE_DTYPE": "float32",
+        "JAX_PLATFORMS": "cpu",  # embedded interpreter: no axon plugin
+        "PYTHONPATH": str(REPO),
+    })
+    r = subprocess.run([str(BIN)], env=env, capture_output=True, text=True,
+                       timeout=540)
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert "CPP_API_OK" in r.stdout
