@@ -200,7 +200,9 @@ def _vit_block(params: Params, x: jnp.ndarray, cfg: SamViTConfig, window: int
     if window > 0:
         wx, meta = _window_partition(x, window)
         wx = wx.reshape(-1, window, window, C)
-        wx = _vit_attention(params, wx, cfg.num_heads, cfg.use_rel_pos)
+        wx = _vit_attention(params, wx, cfg.num_heads, cfg.use_rel_pos,
+                            use_flash=cfg.use_flash_attention,
+                            flash_interpret=cfg.flash_interpret)
         x = _window_unpartition(wx.reshape(-1, window * window, C), window, meta,
                                 H, W, C)
     else:

@@ -1,20 +1,21 @@
 """Pallas TPU attention with in-tile decomposed relative-position bias.
 
-The hot op of the SAM ViT-B/L/H encoders (BASELINE configs 3/4): global
-attention over the 64x64 token grid with MViTv2 decomposed rel-pos bias.
-The naive XLA lowering materialises the (heads, N, N) f32 bias AND attention
-matrices — ~800 MB of HBM traffic per ViT-H layer, measured ~17x off
-roofline. This kernel keeps everything quadratic in VMEM: one program per
-(batch*head, query-row), scores held as a (w, gh, w) f32 tile, and the bias
-reconstructed on the fly from the gathered (h, h, hd)/(w, w, hd) tables:
+The hot op of the SAM ViT-B/L/H encoders (BASELINE configs 3/4): attention
+with MViTv2 decomposed rel-pos bias, both the 64x64-token *global* layers
+and the 14x14 *windowed* layers. The naive XLA lowering materialises the
+(batch*heads, N, N) f32 bias AND attention matrices in HBM — measured ~17x
+off roofline for ViT-H. This kernel keeps everything quadratic in VMEM.
 
-  bias[i, (yj, xj)] = q_i . rh[yi, yj] + q_i . rw[xi, xj]
+Bias structure: token i has grid coords (yi, xi) = divmod(i, gw) and
+  bias[i, j] = q_i . rh[yi, yj] + q_i . rw[xi, xj]
 
-With one spatial row per query block, yi is constant, so the rh term is a
-(w, gh) matmul broadcast over xj and the rw term a (w, w) tile broadcast
-over yj — nothing N x N ever leaves VMEM, and all contractions are
-MXU-shaped. No dynamic indexing (Mosaic-friendly); softmax is exact (the
-full key row fits in VMEM at SAM scales: s3 is w*N f32 = 1 MB at 64x64).
+Each program handles one q-block of BQ tokens against all N keys of its
+attention group (a full window, or one head of the global grid). The bias
+is rebuilt per tile from *gathered per-token tables* prepared by the caller:
+  rh_e[i] = rh[yi]  (N, gh, hd)      rw_e[i] = rw[xi]  (N, gw, hd)
+so in-kernel it is two skinny per-row contractions (VPU) expanded to (BQ, N)
+by static one-hot selector matmuls (MXU) — no dynamic indexing, no N x N
+traffic to HBM, exact softmax (a BQ x N f32 tile fits VMEM at SAM scales).
 """
 
 from __future__ import annotations
@@ -23,46 +24,40 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, grid_h: int,
             grid_w: int, scale: float):
-    """Block shapes (leading singleton = blocked batch*head dim):
-      q_ref:  (1, w, hd)   — query spatial row `qrow`
-      k_ref:  (1, N, hd)   — all keys for this head
+    """Block shapes (leading singleton = the blocked group dim):
+      q_ref:  (1, BQ, hd)      — query block
+      k_ref:  (1, N, hd)       — all keys of this attention group
       v_ref:  (1, N, hd)
-      rh_ref: (1, gh, hd)  — rh[qrow] (key-row relative vectors)
-      rw_ref: (w, w, hd)   — full width table
-      o_ref:  (1, w, hd)
+      rh_ref: (BQ, gh, hd)     — gathered height table rows for this block
+      rw_ref: (BQ, gw, hd)     — gathered width table rows
+      o_ref:  (1, BQ, hd)
     """
-    w = q_ref.shape[1]
-    hd = q_ref.shape[2]
-    N = grid_h * grid_w
-    q = q_ref[0].astype(jnp.float32)                       # (w, hd)
+    N = k_ref.shape[1]
+    q = q_ref[0].astype(jnp.float32)                       # (BQ, hd)
     k = k_ref[0].astype(jnp.float32)                       # (N, hd)
-    v = v_ref[0].astype(jnp.float32)                       # (N, hd)
+    v = v_ref[0].astype(jnp.float32)
 
-    # Scores: (w, N) — lanes = all keys, MXU-shaped.
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
 
-    # Height bias: constant along key columns. bh (w, gh) expanded to (w, N)
-    # via a static one-hot selector matmul (key j belongs to key-row j // w).
-    rh = rh_ref[0].astype(jnp.float32)                     # (gh, hd)
-    bh = jax.lax.dot_general(q, rh, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (w, gh)
+    # Per-row skinny contractions (VPU), then one-hot expansion (MXU).
+    bh = jnp.sum(q[:, None, :] * rh_ref[...].astype(jnp.float32),
+                 axis=-1)                                  # (BQ, gh)
     sel_h = (jax.lax.broadcasted_iota(jnp.int32, (grid_h, N), 1) // grid_w
              == jax.lax.broadcasted_iota(jnp.int32, (grid_h, N), 0)
              ).astype(jnp.float32)
     s = s + jax.lax.dot_general(bh, sel_h, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
 
-    # Width bias: constant along key rows. bw (w, w) -> (w, N) via the
-    # column selector (key j has key-col j % w).
     bw = jnp.sum(q[:, None, :] * rw_ref[...].astype(jnp.float32),
-                 axis=-1)                                  # (w, w)
+                 axis=-1)                                  # (BQ, gw)
     sel_w = (jax.lax.broadcasted_iota(jnp.int32, (grid_w, N), 1) % grid_w
              == jax.lax.broadcasted_iota(jnp.int32, (grid_w, N), 0)
              ).astype(jnp.float32)
@@ -72,55 +67,88 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, grid_h: int,
     # Exact softmax over all keys.
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)             # (w, N)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)             # (BQ, N)
 
     o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_h", "grid_w", "interpret"))
-def flash_attention_relpos(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                           rh: jnp.ndarray, rw: jnp.ndarray, *, grid_h: int,
-                           grid_w: int, interpret: bool = False
-                           ) -> jnp.ndarray:
-    """q, k, v: (BH, N, hd) with N == grid_h * grid_w.
-    rh: (grid_h, grid_h, hd) gathered height table (rel_pos_h[idx]);
-    rw: (grid_w, grid_w, hd). Returns (BH, N, hd), dtype of q."""
-    BH, N, hd = q.shape
-    assert N == grid_h * grid_w, (N, grid_h, grid_w)
-    scale = hd ** -0.5
+def _gathered_tables(rh, rw, grid_h, grid_w, dtype):
+    """rel_pos tables -> per-token gathered form.
 
+    rh: (2*gh-1, hd) raw table -> rh_e (N, gh, hd) with
+    rh_e[i, yj] = rh[yi - yj + gh - 1]; same for rw along x."""
+    idx_h = np.arange(grid_h)[:, None] - np.arange(grid_h)[None, :] + grid_h - 1
+    idx_w = np.arange(grid_w)[:, None] - np.arange(grid_w)[None, :] + grid_w - 1
+    rh_g = jnp.take(rh, jnp.asarray(idx_h), axis=0)        # (gh, gh, hd)
+    rw_g = jnp.take(rw, jnp.asarray(idx_w), axis=0)        # (gw, gw, hd)
+    # Per-token: token i=(yi, xi) -> rows repeat along the other axis.
+    rh_e = jnp.repeat(rh_g, grid_w, axis=0)                # (N, gh, hd)
+    rw_e = jnp.tile(rw_g, (grid_h, 1, 1))                  # (N, gw, hd)
+    return rh_e.astype(dtype), rw_e.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_h", "grid_w", "block_q",
+                                             "interpret"))
+def _attention_grouped(q, k, v, rh_e, rw_e, *, grid_h: int, grid_w: int,
+                       block_q: int, interpret: bool = False) -> jnp.ndarray:
+    """q, k, v: (G, N, hd) — G independent attention groups over N tokens.
+    rh_e: (N, grid_h, hd), rw_e: (N, grid_w, hd) shared across groups."""
+    G, N, hd = q.shape
+    assert N == grid_h * grid_w and N % block_q == 0
+    scale = hd ** -0.5
     kernel = functools.partial(_kernel, grid_h=grid_h, grid_w=grid_w,
                                scale=scale)
-    flops = 2 * BH * N * N * hd * 2  # qk^T + pv
+    nq = N // block_q
     return pl.pallas_call(
         kernel,
-        grid=(BH, grid_h),
+        grid=(G, nq),
         in_specs=[
-            pl.BlockSpec((1, grid_w, hd), lambda bh, qr: (bh, qr, 0),
+            pl.BlockSpec((1, block_q, hd), lambda g, qb: (g, qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, hd), lambda bh, qr: (bh, 0, 0),
+            pl.BlockSpec((1, N, hd), lambda g, qb: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, hd), lambda bh, qr: (bh, 0, 0),
+            pl.BlockSpec((1, N, hd), lambda g, qb: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, grid_h, hd), lambda bh, qr: (qr, 0, 0),
+            pl.BlockSpec((block_q, grid_h, hd), lambda g, qb: (qb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((grid_w, grid_w, hd), lambda bh, qr: (0, 0, 0),
+            pl.BlockSpec((block_q, grid_w, hd), lambda g, qb: (qb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, grid_w, hd), lambda bh, qr: (bh, qr, 0),
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda g, qb: (g, qb, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, N, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((G, N, hd), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=3 * BH * N * hd * 2 + BH * N * hd * 2,
-            transcendentals=BH * N * N),
+            flops=4 * G * N * N * hd,
+            bytes_accessed=4 * G * N * hd * 2,
+            transcendentals=G * N * N),
         interpret=interpret,
-    )(q, k, v, rh, rw)
+    )(q, k, v, rh_e, rw_e)
+
+
+def flash_attention_relpos(q, k, v, rh, rw, *, grid_h: int, grid_w: int,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Rel-pos attention over (G, N, hd) groups; N == grid_h * grid_w.
+
+    rh: (grid_h, grid_h, hd) pre-gathered (rel_pos_h[idx]) or (2*gh-1, hd)
+    raw table — both accepted; rw likewise. Query blocking: whole group per
+    program for windows (N <= 256), one spatial row for the global grid."""
+    N = q.shape[1]
+    if rh.ndim == 2:
+        rh_e, rw_e = _gathered_tables(rh, rw, grid_h, grid_w, q.dtype)
+    else:
+        rh_e = jnp.repeat(rh, grid_w, axis=0).astype(q.dtype)
+        rw_e = jnp.tile(rw, (grid_h, 1, 1)).astype(q.dtype)
+    block_q = N if N <= 256 else grid_w
+    return _attention_grouped(q, k, v, rh_e, rw_e, grid_h=grid_h,
+                              grid_w=grid_w, block_q=block_q,
+                              interpret=interpret)
 
 
 def attention_reference(q, k, v, rh, rw, grid_h, grid_w):
-    """Dense reference (the naive path) for testing the kernel."""
+    """Dense reference (the naive path) for testing the kernel.
+    rh/rw: gathered (gh, gh, hd) form."""
     BH, N, hd = q.shape
     scale = hd ** -0.5
     qf = q.astype(jnp.float32)
@@ -128,8 +156,7 @@ def attention_reference(q, k, v, rh, rw, grid_h, grid_w):
     qr = qf.reshape(BH, grid_h, grid_w, hd)
     bh = jnp.einsum("bhwc,hkc->bhwk", qr, rh.astype(jnp.float32))
     bw = jnp.einsum("bhwc,wkc->bhwk", qr, rw.astype(jnp.float32))
-    bias = (bh[..., :, None] + bw[..., None, :]).reshape(
-        BH, grid_h, grid_w, N).reshape(BH, N, N)
+    bias = (bh[..., :, None] + bw[..., None, :]).reshape(BH, N, N)
     p = jax.nn.softmax(s + bias, axis=-1)
     return jnp.einsum("bqk,bkd->bqd", p,
                       v.astype(jnp.float32)).astype(q.dtype)
