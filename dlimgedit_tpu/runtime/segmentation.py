@@ -56,6 +56,26 @@ def _build_embed_fn(bundle):
     return jax.jit(run)
 
 
+def _build_batch_decode_fn(bundle, out_bucket: int):
+    """N prompts against ONE cached embedding in a single XLA program
+    (BASELINE config 3: batched multi-point decode)."""
+    cfg = bundle.cfg
+
+    def run(params, emb, points, labels, sizes):
+        def one(pc, pl_):
+            m, iou = sam_lib.decode_masks(params, cfg, emb, pc[None],
+                                          pl_[None], multimask=False)
+            return m[0], iou[0]
+
+        masks, iou = jax.vmap(one)(points, labels)  # (N, 1, L, L)
+        logits = upsample_mask_logits(masks[:, 0][None], out_bucket,
+                                      cfg.image_size, sizes[0], sizes[1],
+                                      sizes[2], sizes[3])
+        return threshold_mask(logits)[0], iou[:, 0]
+
+    return jax.jit(run)
+
+
 def _build_decode_fn(bundle, out_bucket: int, multimask: bool,
                      largest_component: bool):
     cfg = bundle.cfg
@@ -194,6 +214,40 @@ class Segmentation:
         masks, iou = self._decode(point, None, multimask=True)
         return [Mask(self._to_mask_image(masks[i]), float(iou[i]))
                 for i in range(3)]
+
+    def compute_mask_batch(self, prompts: List[Union[Point, Region]]
+                           ) -> List[Mask]:
+        """Decode MANY prompts against the cached embedding in one XLA
+        program (one dispatch + one fetch; BASELINE config 3). Returns the
+        single best mask per prompt. Prompt count is padded to a power of two
+        so executables are reused across batch sizes."""
+        env = self._env
+        bundle = env.sam_model(self._variant)
+        n = len(prompts)
+        if n == 0:
+            return []
+        padded = 1
+        while padded < n:
+            padded *= 2
+        points = np.zeros((padded, 2, 2), np.float32)
+        labels = np.full((padded, 2), -1.0, np.float32)
+        for i, pr in enumerate(prompts):
+            if isinstance(pr, Region):
+                p, l = self._prompt_arrays(None, pr)
+            else:
+                p, l = self._prompt_arrays(pr, None)
+            points[i] = p[0]
+            labels[i] = l[0]
+        bucket = pick_bucket(self._original)
+        sizes = np.array([self._original.height, self._original.width,
+                          self._crop[0], self._crop[1]], np.int32)
+        decode = env.executable(
+            ("decode_batch", self._variant, bucket, padded),
+            lambda: _build_batch_decode_fn(bundle, bucket))
+        mask_u8, iou = jax.device_get(
+            decode(bundle.params, self._embedding, points, labels, sizes))
+        return [Mask(self._to_mask_image(mask_u8[i]), float(iou[i]))
+                for i in range(n)]
 
 
 def segment_objects(img: Union[Image, ImageView], env: Environment) -> Image:

@@ -121,3 +121,18 @@ def test_mask_channel_protocol(seg):
     # Masks use Channels::mask with values 0 or 255 (dlimgedit.hpp:141).
     mask = seg.compute_mask(Point(48, 30))
     assert mask.pixels.shape == (64, 96, 1)
+
+
+def test_compute_mask_batch_matches_individual(seg):
+    from dlimgedit_tpu import Region
+
+    prompts = [Point(48, 30), Point(20, 20), Region(Point(10, 10), Point(80, 50))]
+    batch = seg.compute_mask_batch(prompts)
+    assert len(batch) == 3
+    for prompt, got in zip(prompts, batch):
+        single = seg.compute_mask(prompt)
+        np.testing.assert_array_equal(got.image.pixels, single.pixels)
+
+
+def test_compute_mask_batch_empty(seg):
+    assert seg.compute_mask_batch([]) == []
