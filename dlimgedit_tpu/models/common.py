@@ -132,11 +132,17 @@ def init_layer_norm(dim, dtype=jnp.float32) -> Params:
 
 def layer_norm(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """LayerNorm over the last axis. With NHWC tensors this is also SAM's
-    LayerNorm2d (which normalises the channel axis; use eps=1e-6 there)."""
+    LayerNorm2d (which normalises the channel axis; use eps=1e-6 there).
+
+    Statistics use the one-pass E[x^2] - E[x]^2 form so XLA emits a single
+    multi-output reduction fusion over x instead of two dependent passes
+    (jnp.var needs the mean first) — profiling showed two-pass LN stats were
+    the single largest cost in the big ViT encoders."""
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
+    mean_sq = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    var = jnp.maximum(mean_sq - mean * mean, 0.0)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     return (y * params["scale"] + params["bias"]).astype(dtype)
 
