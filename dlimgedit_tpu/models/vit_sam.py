@@ -192,11 +192,22 @@ def _vit_attention(params: Params, x: jnp.ndarray, num_heads: int,
     return linear(params["proj"], out)
 
 
+def _layer_norm(params: Params, x: jnp.ndarray, cfg: SamViTConfig
+                ) -> jnp.ndarray:
+    if cfg.use_flash_attention:  # TPU fused-kernel mode
+        from ..ops.fused_norm import fused_layer_norm
+
+        return fused_layer_norm(x, params["scale"], params["bias"],
+                                eps=cfg.layer_norm_eps,
+                                interpret=cfg.flash_interpret)
+    return layer_norm(params, x, eps=cfg.layer_norm_eps)
+
+
 def _vit_block(params: Params, x: jnp.ndarray, cfg: SamViTConfig, window: int
                ) -> jnp.ndarray:
     B, H, W, C = x.shape
     shortcut = x
-    x = layer_norm(params["norm1"], x, eps=cfg.layer_norm_eps)
+    x = _layer_norm(params["norm1"], x, cfg)
     if window > 0:
         wx, meta = _window_partition(x, window)
         wx = wx.reshape(-1, window, window, C)
@@ -210,7 +221,7 @@ def _vit_block(params: Params, x: jnp.ndarray, cfg: SamViTConfig, window: int
                            use_flash=cfg.use_flash_attention,
                            flash_interpret=cfg.flash_interpret)
     x = shortcut + x
-    y = layer_norm(params["norm2"], x, eps=cfg.layer_norm_eps)
+    y = _layer_norm(params["norm2"], x, cfg)
     y = linear(params["mlp"]["lin2"], gelu(linear(params["mlp"]["lin1"], y)))
     return x + y
 

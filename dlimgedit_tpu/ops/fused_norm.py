@@ -1,0 +1,60 @@
+"""Pallas fused LayerNorm over the channel (last) axis, NHWC.
+
+Profiling the big SAM ViT encoders showed LayerNorm as a top cost: the XLA
+lowering round-trips the activation through f32 HBM copies between the
+stats reductions and the normalise pass. This kernel does one read and one
+write per element — stats, normalise, affine all in VMEM, f32 math inside,
+activation dtype outside.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
+    x = x_ref[...].astype(jnp.float32)                 # (R, C)
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    m2 = jnp.mean(x * x, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(m2 - m * m, 0.0) + eps)
+    y = (x - m) * inv
+    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                     eps: float = 1e-6, interpret: bool = False
+                     ) -> jnp.ndarray:
+    """LayerNorm over the last axis of an arbitrary-rank tensor."""
+    orig_shape = x.shape
+    C = orig_shape[-1]
+    n = 1
+    for d in orig_shape[:-1]:
+        n *= d
+    x2 = x.reshape(n, C)
+    # Rows per program: target ~2 MB of f32 working set.
+    rows = max(8, min(n, (2 * 1024 * 1024) // (C * 4) // 8 * 8))
+    while n % rows != 0:
+        rows //= 2
+    rows = max(rows, 1)
+    out = pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        grid=(n // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, C), x.dtype),
+        interpret=interpret,
+    )(x2, scale, bias)
+    return out.reshape(orig_shape)
