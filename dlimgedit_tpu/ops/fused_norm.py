@@ -27,22 +27,23 @@ def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def fused_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                      eps: float = 1e-6, interpret: bool = False
                      ) -> jnp.ndarray:
-    """LayerNorm over the last axis of an arbitrary-rank tensor."""
+    """LayerNorm over the last axis of an arbitrary-rank tensor.
+
+    (Not jitted itself — always composed inside the caller's jit.)"""
     orig_shape = x.shape
     C = orig_shape[-1]
     n = 1
     for d in orig_shape[:-1]:
         n *= d
     x2 = x.reshape(n, C)
-    # Rows per program: target ~2 MB of f32 working set.
-    rows = max(8, min(n, (2 * 1024 * 1024) // (C * 4) // 8 * 8))
-    while n % rows != 0:
-        rows //= 2
-    rows = max(rows, 1)
+    # Rows per program: a power of two dividing n, targeting ~2 MB f32.
+    target = max(8, (2 * 1024 * 1024) // (C * 4))
+    rows = 1
+    while rows * 2 <= min(n, target) and n % (rows * 2) == 0:
+        rows *= 2
     out = pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps),
         grid=(n // rows,),
