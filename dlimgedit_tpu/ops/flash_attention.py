@@ -40,37 +40,53 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, grid_h: int,
       o_ref:  (1, BQ, hd)
     """
     N = k_ref.shape[1]
-    q = q_ref[0].astype(jnp.float32)                       # (BQ, hd)
-    k = k_ref[0].astype(jnp.float32)                       # (N, hd)
-    v = v_ref[0].astype(jnp.float32)
+    qn = q_ref[0]                                          # (BQ, hd) native
+    q = qn.astype(jnp.float32)
+    k = k_ref[0]                                           # (N, hd)
+    v = v_ref[0]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+    # MXU dot in the native dtype, f32 accumulation. bf16 inputs use the
+    # native single-pass MXU; f32 inputs (tests / CPU) request full precision
+    # (the default would silently round them to bf16).
+    prec = (jax.lax.Precision.HIGHEST if qn.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    s = jax.lax.dot_general(qn, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec) * scale
 
     # Per-row skinny contractions (VPU), then one-hot expansion (MXU).
+    # The expansions run in bf16: the selectors are exact 0/1 and the bias
+    # inputs are bf16 params, so no precision is lost — and the expansion
+    # matmuls otherwise cost more f32 FLOPs than the attention itself.
     bh = jnp.sum(q[:, None, :] * rh_ref[...].astype(jnp.float32),
                  axis=-1)                                  # (BQ, gh)
     sel_h = (jax.lax.broadcasted_iota(jnp.int32, (grid_h, N), 1) // grid_w
              == jax.lax.broadcasted_iota(jnp.int32, (grid_h, N), 0)
-             ).astype(jnp.float32)
-    s = s + jax.lax.dot_general(bh, sel_h, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+             ).astype(qn.dtype)
+    s = s + jax.lax.dot_general(bh.astype(qn.dtype), sel_h,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
 
     bw = jnp.sum(q[:, None, :] * rw_ref[...].astype(jnp.float32),
                  axis=-1)                                  # (BQ, gw)
     sel_w = (jax.lax.broadcasted_iota(jnp.int32, (grid_w, N), 1) % grid_w
              == jax.lax.broadcasted_iota(jnp.int32, (grid_w, N), 0)
-             ).astype(jnp.float32)
-    s = s + jax.lax.dot_general(bw, sel_w, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+             ).astype(qn.dtype)
+    s = s + jax.lax.dot_general(bw.astype(qn.dtype), sel_w,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
 
-    # Exact softmax over all keys.
+    # Exact softmax over all keys (f32), probabilities rounded to the native
+    # dtype for the PV matmul (standard flash-attention practice).
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)             # (BQ, N)
 
-    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
