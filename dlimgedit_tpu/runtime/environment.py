@@ -107,6 +107,22 @@ class Environment:
         return self._sam_models[variant].get_or_create(
             lambda: self._load_sam(variant))
 
+    def _verified_load(self, path: Path):
+        """Load a bundle, verifying a pinned sha256 when `<bundle>.sha256`
+        exists next to it (the analog of the reference's hash-pinned model
+        downloads, models/segmentation/CMakeLists.txt)."""
+        import hashlib
+
+        pin = path.with_suffix(path.suffix + ".sha256")
+        if pin.exists():
+            expected = pin.read_text().split()[0].strip()
+            actual = hashlib.sha256(path.read_bytes()).hexdigest()
+            if actual != expected:
+                raise DlimgError(
+                    f"Model bundle {path} failed integrity check: "
+                    f"sha256 {actual} != pinned {expected}")
+        return load_pytree(path)
+
     def _load_sam(self, variant: str) -> SamModelBundle:
         cfg = sam_lib.make_config(variant, image_size=self.options.sam_image_size)
         if cfg.encoder_vit is not None and self.device.platform != "cpu":
@@ -119,7 +135,7 @@ class Environment:
                     cfg.encoder_vit, use_flash_attention=True))
         path = self.model_directory / "segmentation" / SAM_BUNDLES[variant]
         if path.exists():
-            params = load_pytree(path)
+            params = self._verified_load(path)
         elif self.options.allow_random_weights:
             params = sam_lib.init_sam(jax.random.PRNGKey(0), cfg)
         else:

@@ -64,3 +64,32 @@ def test_export_serving_bundle_loads_in_environment(tmp_path, tiny_state):
     seg = Segmentation.process(img, env)
     mask = seg.compute_mask(Point(24, 16))
     assert mask.extent == Extent(48, 32)
+
+
+def test_bundle_sha256_verification(tmp_path, tiny_state):
+    import hashlib
+
+    from dlimgedit_tpu import Backend, Environment, Options
+    from dlimgedit_tpu.errors import DlimgError
+    from dlimgedit_tpu.train.checkpoint import export_serving_bundle
+
+    _, params, _ = tiny_state
+    out = tmp_path / "models" / "segmentation" / "mobile_sam.npz"
+    export_serving_bundle(params, out)
+    good = hashlib.sha256(out.read_bytes()).hexdigest()
+
+    # Correct pin loads fine.
+    (out.parent / "mobile_sam.npz.sha256").write_text(good + "\n")
+    env = Environment(Options(backend=Backend.cpu,
+                              model_directory=str(tmp_path / "models"),
+                              compute_dtype="float32", sam_image_size=64))
+    env.sam_model("mobile_sam")
+
+    # Corrupted pin raises.
+    (out.parent / "mobile_sam.npz.sha256").write_text("0" * 64 + "\n")
+    env2 = Environment(Options(backend=Backend.cpu,
+                               model_directory=str(tmp_path / "models"),
+                               compute_dtype="float32", sam_image_size=64))
+    import pytest as _pytest
+    with _pytest.raises(DlimgError):
+        env2.sam_model("mobile_sam")
