@@ -1,0 +1,46 @@
+"""Streaming-frame embedding over a TPU mesh (BASELINE config 5).
+
+Embeds a batch of frames data-parallel over all available chips (tensor-
+parallel weights for the big encoders), then runs interactive mask edits
+against each cached per-frame embedding.
+
+Usage:
+    python examples/streaming_frames.py
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dlimgedit_tpu.models import sam as sam_lib
+from dlimgedit_tpu.models.common import cast_tree
+from dlimgedit_tpu.parallel.batch import decode_prompt_batch, encode_frames
+from dlimgedit_tpu.parallel.mesh import make_mesh
+
+
+def main():
+    n = len(jax.devices())
+    mesh = make_mesh(n)
+    print(f"mesh: {dict(mesh.shape)} over {n} devices")
+
+    cfg = sam_lib.make_config("mobile_sam", image_size=256)
+    params = sam_lib.init_sam(jax.random.PRNGKey(0), cfg)
+
+    # A "video": B frames, preprocessed (see ops/preprocess for real inputs).
+    B = mesh.shape["dp"] * 2
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.standard_normal((B, 256, 256, 3)), jnp.float32)
+
+    embeddings = encode_frames(params, cfg, frames, mesh=mesh)
+    print("embeddings:", embeddings.shape, "sharding:", embeddings.sharding)
+
+    # Interactive edits on frame 0: many prompts, one program.
+    coords = jnp.asarray(rng.uniform(0, 256, (6, 2, 2)), jnp.float32)
+    labels = jnp.tile(jnp.asarray([[1.0, -1.0]], jnp.float32), (6, 1))
+    masks, iou = decode_prompt_batch(params, cfg, embeddings[:1], coords,
+                                     labels)
+    print("masks:", masks.shape, "predicted IoU:", np.asarray(iou[:, 0]))
+
+
+if __name__ == "__main__":
+    main()
