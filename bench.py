@@ -36,7 +36,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="mobile_sam")
     ap.add_argument("--size", type=int, default=1024, help="input image size")
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--compute-dtype", default="bfloat16")
     args = ap.parse_args()
 
@@ -63,7 +63,7 @@ def main():
 
     # Warmup every executable AND every fetch path (first D2H per program can
     # stall on remote-attached TPUs).
-    for _ in range(3):
+    for _ in range(2):
         seg = dl.Segmentation.process(img, env, variant=args.variant)
         seg.compute_mask(dl.Point(args.size // 2, args.size // 2))
         seg.compute_masks(dl.Point(args.size // 2, args.size // 2))

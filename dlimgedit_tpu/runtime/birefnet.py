@@ -49,7 +49,10 @@ class BiRefNetBundle:
 def load_birefnet(env, kind: str) -> BiRefNetBundle:
     from ..models.birefnet import BiRefNetConfig, init_birefnet
 
-    resolution = BIREFNET_RESOLUTION[kind]
+    import os
+
+    resolution = int(os.environ.get("DLIMG_BIREFNET_RESOLUTION",
+                                    BIREFNET_RESOLUTION[kind]))
     cfg = BiRefNetConfig(img_size=resolution)
     for name in BIREFNET_BUNDLES[kind]:
         path = env.model_directory / "segmentation" / name

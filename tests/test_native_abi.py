@@ -183,3 +183,20 @@ def test_create_destroy_image(api):
     p = api.create_image(8, 6, 4)
     assert p
     api.destroy_image(p)
+
+
+def test_segment_objects_abi(api, env):
+    os.environ["DLIMG_BIREFNET_RESOLUTION"] = "64"
+    try:
+        rng = np.random.default_rng(3)
+        arr = np.ascontiguousarray(
+            rng.integers(0, 256, (40, 56, 3), dtype=np.uint8))
+        out = np.zeros(40 * 56, np.uint8)
+        view = _view(arr, 3)
+        rc = api.segment_objects(
+            ctypes.byref(view),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), env)
+        assert rc == 0, api.last_error().decode()
+        assert out.min() >= 0 and out.max() <= 255
+    finally:
+        os.environ.pop("DLIMG_BIREFNET_RESOLUTION", None)
