@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..types import Channels, Extent, Image, ImageView
+from ..types import Extent, Image, ImageView
 
 __all__ = ["resize", "resize_mask", "resize_longest_side_extent", "filter_matrix"]
 

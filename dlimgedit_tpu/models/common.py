@@ -15,7 +15,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ Architecture follows SAM (Kirillov et al., 2023) prompt encoder.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

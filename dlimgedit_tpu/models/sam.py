@@ -11,14 +11,14 @@ All functions are pure; parameters are pytrees. Image embeddings are NHWC
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import Params, cast_tree
+from .common import Params
 from .mask_decoder import (
     MaskDecoderConfig,
     init_mask_decoder,

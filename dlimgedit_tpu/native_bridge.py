@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-from typing import Optional
-
 import numpy as np
 
 from .runtime.environment import Environment, is_supported

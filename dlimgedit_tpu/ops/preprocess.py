@@ -15,13 +15,11 @@ up to the bucket.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..types import Channels, Extent, ImageView, RGB_CHANNEL_MAP
+from ..types import Extent, ImageView, RGB_CHANNEL_MAP
 from .resample import resample_matrix
 from ..models.common import HIGHEST
 from ..models.sam import SAM_PIXEL_MEAN, SAM_PIXEL_STD

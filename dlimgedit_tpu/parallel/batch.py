@@ -11,13 +11,11 @@
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
 from ..models import sam as sam_lib
-from .mesh import batch_sharding, make_mesh, replicated, sam_param_sharding
+from .mesh import batch_sharding, make_mesh, sam_param_sharding
 
 
 def encode_frames(params, cfg: sam_lib.SamConfig, frames: jnp.ndarray,

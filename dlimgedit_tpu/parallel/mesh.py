@@ -17,7 +17,7 @@ ViTs have no profitable pp/ep decomposition at this scale.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -8,8 +8,6 @@ back to the original extent (image.cpp:53-62).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,7 +19,7 @@ from ..ops.postprocess import sigmoid_to_u8
 from ..ops.preprocess import pack_rgb_canvas, pick_bucket
 from ..ops.resample import resample_matrix
 from ..models.common import HIGHEST
-from ..types import Channels, Extent, Image, ImageView
+from ..types import Channels, Image, ImageView
 from ..utils.pytree_io import load_pytree
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)

@@ -11,7 +11,7 @@ update — jits over a (dp, tp) mesh with GSPMD shardings from parallel/mesh.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,8 @@ public vocabulary so the C++14 header can sit on top unchanged.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
-from typing import Optional, Tuple, Union
+from dataclasses import dataclass
+from typing import Optional, Union
 
 import numpy as np
 

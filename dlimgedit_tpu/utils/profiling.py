@@ -17,8 +17,8 @@ import contextlib
 import threading
 import time
 from collections import defaultdict
-from dataclasses import dataclass, field
-from typing import Dict, List
+from dataclasses import dataclass
+from typing import Dict
 
 
 @dataclass

@@ -144,3 +144,36 @@ def test_load_real_reference_input():
     img = load_image(path)
     assert img.extent == Extent(1800, 1200)
     assert img.channels == Channels.rgb
+
+
+def test_resize_gradient_matches_reference_expectations():
+    """Port of the reference's 'Image resize' test (test_image.cpp:52-71):
+    an 8x8 per-axis gradient downscaled 2x must hit exactly 2 + 8*k —
+    validating the sRGB-aware Mitchell downsample numerics."""
+    arr = np.zeros((8, 8, 4), np.uint8)
+    for i in range(8 * 8):
+        y, x = divmod(i, 8)
+        arr[y, x] = (255, 4 * y, 4 * x, 255)
+    img = Image(Extent(8, 8), Channels.rgba, arr)
+    result = resize(img, Extent(4, 4))
+    assert result.extent == Extent(4, 4)
+    for i in range(16):
+        y, x = divmod(i, 4)
+        px = result.pixels[y, x]
+        assert px[0] == 255
+        assert int(px[1]) == 2 + 8 * y, (y, x, px)
+        assert int(px[2]) == 2 + 8 * x, (y, x, px)
+        assert px[3] == 255
+
+
+def test_save_load_value_preservation(tmp_path):
+    """Port of the reference's 'Image save' test (test_image.cpp:27-49)."""
+    arr = np.zeros((16, 16, 4), np.uint8)
+    for i in range(16 * 16):
+        y, x = divmod(i, 16)
+        arr[y, x] = (255, i % 256, 0, 255)
+    img = Image(Extent(16, 16), Channels.rgba, arr)
+    p = tmp_path / "save.png"
+    save_image(img.view(), str(p))
+    loaded = load_image(str(p))
+    np.testing.assert_array_equal(loaded.pixels, arr)
