@@ -125,11 +125,27 @@ class Segmentation:
         bundle = env.sam_model(variant)
         cfg = bundle.cfg
         extent = view.extent
-        bucket = pick_bucket(extent)
-        canvas = pack_rgb_canvas(view, bucket)
         target, scale = resize_longest_side_extent(extent, cfg.image_size)
-        sizes = np.array([extent.height, extent.width,
-                          target.height, target.width], np.int32)
+        if env.options.preprocess_mode == "host":
+            # Reference-exact numerics: stb-semantics resize on the host
+            # (image.cpp:37-51 via segmentation.cpp:60-70); the device
+            # resample becomes an exact identity over the valid region.
+            from ..image.resize import resize as host_resize
+
+            if target != extent:
+                view = host_resize(view, target).view()
+            extent_in = view.extent
+            bucket = pick_bucket(extent)  # bucket by ORIGINAL size: masks
+            # at this bucket must cover the original resolution.
+            bucket = max(bucket, pick_bucket(extent_in))
+            canvas = pack_rgb_canvas(view, bucket)
+            sizes = np.array([extent_in.height, extent_in.width,
+                              target.height, target.width], np.int32)
+        else:
+            bucket = pick_bucket(extent)
+            canvas = pack_rgb_canvas(view, bucket)
+            sizes = np.array([extent.height, extent.width,
+                              target.height, target.width], np.int32)
         embed = env.executable(("embed", variant, bucket),
                                lambda: _build_embed_fn(bundle))
         canvas_d = jax.device_put(canvas, env.device)

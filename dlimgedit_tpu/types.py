@@ -189,6 +189,11 @@ class Options:
     largest_region_object: bool = False
     # Record per-executable call latencies (Environment.profiler.report()).
     enable_profiling: bool = False
+    # Preprocess resize: "device" (fused antialiased bilinear on TPU — the
+    # fast path, matches SAM upstream semantics) or "host" (stb-semantics
+    # sRGB Mitchell/Catmull-Rom resize on CPU — the reference's exact
+    # numerics, image.cpp:37-51; the device program then only normalises).
+    preprocess_mode: str = "device"
 
 
 @dataclass(frozen=True)

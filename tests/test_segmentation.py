@@ -136,3 +136,32 @@ def test_compute_mask_batch_matches_individual(seg):
 
 def test_compute_mask_batch_empty(seg):
     assert seg.compute_mask_batch([]) == []
+
+
+def test_host_preprocess_mode():
+    """Options.preprocess_mode='host': stb-semantics resize on the host,
+    identity device resample. Must equal the device path exactly when no
+    resize is needed, and work end-to-end when one is."""
+    env_h = Environment(Options(backend=Backend.cpu,
+                                allow_random_weights=True,
+                                compute_dtype="float32",
+                                sam_image_size=128,
+                                preprocess_mode="host"))
+    env_d = Environment(Options(backend=Backend.cpu,
+                                allow_random_weights=True,
+                                compute_dtype="float32",
+                                sam_image_size=128))
+    rng = np.random.default_rng(7)
+    # Exactly model-sized input: no resize, paths must agree bit-for-bit.
+    img = Image(Extent(128, 128), Channels.rgb,
+                rng.integers(0, 256, (128, 128, 3), dtype=np.uint8))
+    mh = Segmentation.process(img, env_h).compute_mask(Point(64, 64))
+    md = Segmentation.process(img, env_d).compute_mask(Point(64, 64))
+    np.testing.assert_array_equal(mh.pixels, md.pixels)
+
+    # Non-trivial resize: host path end-to-end.
+    img2 = Image(Extent(200, 80), Channels.rgb,
+                 rng.integers(0, 256, (80, 200, 3), dtype=np.uint8))
+    seg = Segmentation.process(img2, env_h)
+    mask = seg.compute_mask(Point(100, 40))
+    assert mask.extent == Extent(200, 80)
