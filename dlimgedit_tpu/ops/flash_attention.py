@@ -54,10 +54,11 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, grid_h: int,
                             preferred_element_type=jnp.float32,
                             precision=prec) * scale
 
-    # Per-row skinny contractions (VPU), then one-hot expansion (MXU).
-    # The expansions run in bf16: the selectors are exact 0/1 and the bias
-    # inputs are bf16 params, so no precision is lost — and the expansion
-    # matmuls otherwise cost more f32 FLOPs than the attention itself.
+    # Per-row skinny contractions (VPU), then one-hot expansion (MXU) in
+    # the native dtype: the selectors are exact 0/1, so expansion loses no
+    # precision beyond the dtype of the bias values themselves — and a
+    # full-precision f32 expansion would cost more MXU passes than the
+    # attention matmuls.
     bh = jnp.sum(q[:, None, :] * rh_ref[...].astype(jnp.float32),
                  axis=-1)                                  # (BQ, gh)
     sel_h = (jax.lax.broadcasted_iota(jnp.int32, (grid_h, N), 1) // grid_w

@@ -165,3 +165,24 @@ def test_host_preprocess_mode():
     seg = Segmentation.process(img2, env_h)
     mask = seg.compute_mask(Point(100, 40))
     assert mask.extent == Extent(200, 80)
+
+
+def test_concurrent_mask_queries(env, seg):
+    """Environment / Segmentation are safe to use from multiple threads
+    (the reference documents Environment thread-safety, dlimgedit.hpp:101)."""
+    import threading
+
+    results = {}
+
+    def worker(i):
+        results[i] = seg.compute_mask(Point(10 + i * 7, 10 + i * 5))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4
+    for i, m in results.items():
+        np.testing.assert_array_equal(
+            m.pixels, seg.compute_mask(Point(10 + i * 7, 10 + i * 5)).pixels)
