@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Golden-mask parity harness — the reference's check_image_matches tier
+(/root/reference/test/test_utils.cpp:71-90: RMSE < 0.002) plus the
+BASELINE north-star IoU > 0.99 criterion.
+
+Runs the reference's golden scenarios (test_segmentation.cpp:101-123) against
+this framework and reports RMSE/IoU per case. Requires converted weight
+bundles in --models and the reference's test images (git-lfs assets; in this
+build environment they are pointers, so the harness skips what's missing —
+run it wherever the assets exist).
+
+Usage:
+    python tools/verify_parity.py --models models \
+        --inputs /root/reference/test/input \
+        --goldens /root/reference/test/reference
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def rmse(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(np.float64) / 255.0
+    b = b.astype(np.float64) / 255.0
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def iou(a: np.ndarray, b: np.ndarray) -> float:
+    a = a > 127
+    b = b > 127
+    union = np.logical_or(a, b).sum()
+    if union == 0:
+        return 1.0
+    return float(np.logical_and(a, b).sum() / union)
+
+
+# The reference's golden scenarios (test_segmentation.cpp).
+SAM_CASES = [
+    ("cat_and_hat.png", ("point", (320, 210)), "test_segmentation_point.png"),
+    ("cat_and_hat.png", ("region", (180, 110, 505, 330)),
+     "test_segmentation_region.png"),
+]
+SAM_MULTI_CASE = ("cat_and_hat.png", (320, 210),
+                  ["test_segmentation_point_0.png",
+                   "test_segmentation_point_1.png",
+                   "test_segmentation_point_2.png"])
+BIREFNET_CASES = [
+    ("cat_and_hat.png", "test_birefnet_cat.png"),
+    ("wardrobe.png", "test_birefnet_wardrobe.png"),
+]
+
+
+def loadable(path: Path) -> bool:
+    """Real image file (not a git-lfs pointer)."""
+    try:
+        from PIL import Image as P
+
+        with P.open(path):
+            return True
+    except Exception:
+        return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="models")
+    ap.add_argument("--inputs", default="/root/reference/test/input")
+    ap.add_argument("--goldens", default="/root/reference/test/reference")
+    ap.add_argument("--rmse-limit", type=float, default=0.002)
+    ap.add_argument("--iou-floor", type=float, default=0.99)
+    args = ap.parse_args()
+
+    import dlimgedit_tpu as dl
+
+    backend = dl.Backend.tpu if dl.is_supported(dl.Backend.tpu) else dl.Backend.cpu
+    env = dl.Environment(dl.Options(
+        backend=backend, model_directory=args.models,
+        preprocess_mode="host"))  # reference-exact resize numerics
+
+    inputs, goldens = Path(args.inputs), Path(args.goldens)
+    results, skipped = [], []
+
+    def check(name, mask, golden_path):
+        if not loadable(golden_path):
+            skipped.append(str(golden_path))
+            return
+        g = dl.Image.load(golden_path).pixels[:, :, 0]
+        m = mask.pixels[:, :, 0]
+        r = {"case": name, "rmse": rmse(m, g), "iou": iou(m, g)}
+        r["pass"] = r["rmse"] < args.rmse_limit or r["iou"] > args.iou_floor
+        results.append(r)
+
+    segs = {}
+    for img_name, prompt, golden in SAM_CASES:
+        src = inputs / img_name
+        if not loadable(src):
+            skipped.append(str(src))
+            continue
+        if img_name not in segs:
+            segs[img_name] = dl.Segmentation.process(dl.Image.load(src), env)
+        seg = segs[img_name]
+        if prompt[0] == "point":
+            mask = seg.compute_mask(dl.Point(*prompt[1]))
+        else:
+            x0, y0, x1, y1 = prompt[1]
+            mask = seg.compute_mask(dl.Region(dl.Point(x0, y0),
+                                              dl.Point(x1, y1)))
+        check(f"{img_name}:{prompt}", mask, goldens / golden)
+
+    img_name, pt, multi_goldens = SAM_MULTI_CASE
+    if loadable(inputs / img_name):
+        seg = segs.get(img_name) or dl.Segmentation.process(
+            dl.Image.load(inputs / img_name), env)
+        masks = seg.compute_masks(dl.Point(*pt))
+        for m, golden in zip(masks, multi_goldens):
+            if m.accuracy < 0.95:
+                results.append({"case": f"accuracy:{golden}",
+                                "accuracy": m.accuracy, "pass": False})
+            check(f"{img_name}:multi:{golden}", m.image, goldens / golden)
+
+    for img_name, golden in BIREFNET_CASES:
+        src = inputs / img_name
+        if not loadable(src):
+            skipped.append(str(src))
+            continue
+        mask = dl.segment_objects(dl.Image.load(src), env)
+        check(f"birefnet:{img_name}", mask, goldens / golden)
+
+    print(json.dumps({"results": results, "skipped": skipped}, indent=2))
+    if skipped and not results:
+        print("NOTE: all assets missing (git-lfs pointers?) — nothing "
+              "verified.", file=sys.stderr)
+        return 0
+    return 0 if all(r["pass"] for r in results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
