@@ -56,6 +56,9 @@ class SamViTConfig:
     use_flash_attention: bool = False
     # Run the Pallas kernel in interpreter mode (CPU testing only).
     flash_interpret: bool = False
+    # Round-2 experiment: slice windows via BlockSpec inside the kernel
+    # (skips the physical 6D partition transposes, ~20 ms/ViT-H in profiles).
+    fused_window_blocks: bool = False
 
     @property
     def grid(self) -> int:
@@ -208,7 +211,26 @@ def _vit_block(params: Params, x: jnp.ndarray, cfg: SamViTConfig, window: int
     B, H, W, C = x.shape
     shortcut = x
     x = _layer_norm(params["norm1"], x, cfg)
-    if window > 0:
+    if window > 0 and cfg.fused_window_blocks and cfg.use_rel_pos:
+        # Kernel-sliced windows: no physical partition/head transposes.
+        from ..ops.flash_attention import windowed_attention_fused
+
+        qkv = linear(params["qkv"], x)  # (B, H, W, 3C)
+        pad_b = (window - H % window) % window
+        pad_r = (window - W % window) % window
+        if pad_b or pad_r:
+            qkv = jnp.pad(qkv, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        idx = np.arange(window)[:, None] - np.arange(window)[None, :] \
+            + window - 1
+        rh = jnp.take(params["rel_pos_h"], jnp.asarray(idx), axis=0)
+        rw = jnp.take(params["rel_pos_w"], jnp.asarray(idx), axis=0)
+        att = windowed_attention_fused(q, k, v, rh.astype(q.dtype),
+                                       rw.astype(q.dtype), ws=window,
+                                       num_heads=cfg.num_heads,
+                                       interpret=cfg.flash_interpret)
+        x = linear(params["proj"], att[:, :H, :W, :])
+    elif window > 0:
         wx, meta = _window_partition(x, window)
         wx = wx.reshape(-1, window, window, C)
         wx = _vit_attention(params, wx, cfg.num_heads, cfg.use_rel_pos,

@@ -177,3 +177,86 @@ def attention_reference(q, k, v, rh, rw, grid_h, grid_w):
     p = jax.nn.softmax(s + bias, axis=-1)
     return jnp.einsum("bqk,bkd->bqd", p,
                       v.astype(jnp.float32)).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Windowed attention with BlockSpec-sliced windows (no physical partition)
+# ---------------------------------------------------------------------------
+
+def _window_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, ws: int,
+                   scale: float):
+    """One program = one (batch, window-row, window-col, head).
+
+    Blocks are sliced straight out of the padded NHWC tensors by the grid
+    index map — the 6D partition/unpartition transposes of the host-side
+    window path never materialise.
+      q/k/v_ref: (1, ws, ws, hd);  rh/rw_ref: (ws*ws, ws, hd);  o: like q.
+    """
+    hd = q_ref.shape[3]
+    n = ws * ws
+    qn = q_ref[0].reshape(n, hd)
+    k = k_ref[0].reshape(n, hd)
+    v = v_ref[0].reshape(n, hd)
+    prec = (jax.lax.Precision.HIGHEST if qn.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    s = jax.lax.dot_general(qn, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec) * scale
+    q = qn.astype(jnp.float32)
+    bh = jnp.sum(q[:, None, :] * rh_ref[...].astype(jnp.float32), axis=-1)
+    sel_h = (jax.lax.broadcasted_iota(jnp.int32, (ws, n), 1) // ws
+             == jax.lax.broadcasted_iota(jnp.int32, (ws, n), 0)
+             ).astype(qn.dtype)
+    s = s + jax.lax.dot_general(bh.astype(qn.dtype), sel_h,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+    bw = jnp.sum(q[:, None, :] * rw_ref[...].astype(jnp.float32), axis=-1)
+    sel_w = (jax.lax.broadcasted_iota(jnp.int32, (ws, n), 1) % ws
+             == jax.lax.broadcasted_iota(jnp.int32, (ws, n), 0)
+             ).astype(qn.dtype)
+    s = s + jax.lax.dot_general(bw.astype(qn.dtype), sel_w,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+    o_ref[0] = o.reshape(ws, ws, hd).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("ws", "num_heads", "interpret"))
+def windowed_attention_fused(q, k, v, rh, rw, *, ws: int, num_heads: int,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Windowed rel-pos attention on padded NHWC tensors, windows sliced by
+    BlockSpec (round-2 experiment; enable via SamViTConfig.fused_window_blocks).
+
+    q, k, v: (B, Hp, Wp, C) with Hp % ws == Wp % ws == 0 and C = nh * hd.
+    rh, rw: (ws, ws, hd) gathered tables. Returns (B, Hp, Wp, C)."""
+    B, Hp, Wp, C = q.shape
+    hd = C // num_heads
+    n = ws * ws
+    rh_e = jnp.repeat(rh, ws, axis=0).astype(q.dtype)   # (n, ws, hd)
+    rw_e = jnp.tile(rw, (ws, 1, 1)).astype(q.dtype)     # (n, ws, hd)
+    kernel = functools.partial(_window_kernel, ws=ws, scale=hd ** -0.5)
+    grid = (B, Hp // ws, Wp // ws, num_heads)
+
+    def spec():
+        return pl.BlockSpec((1, ws, ws, hd),
+                            lambda b, wy, wx, h: (b, wy, wx, h),
+                            memory_space=pltpu.VMEM)
+
+    tspec = lambda gdim: pl.BlockSpec(  # noqa: E731
+        (n, gdim, hd), lambda b, wy, wx, h: (0, 0, 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(), spec(), spec(), tspec(ws), tspec(ws)],
+        out_specs=spec(),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), q.dtype),
+        interpret=interpret,
+    )(q, k, v, rh_e, rw_e)

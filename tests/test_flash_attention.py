@@ -55,3 +55,32 @@ def test_vit_flash_path_matches_dense():
     flash = sam_vit_apply(params, x, flash_cfg)
     np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_vit_fused_window_blocks_matches_dense():
+    """Round-2 experiment path: BlockSpec-sliced windowed attention must
+    equal the dense windowed path."""
+    import dataclasses
+
+    from dlimgedit_tpu.models.vit_sam import (
+        SamViTConfig,
+        init_sam_vit,
+        sam_vit_apply,
+    )
+
+    cfg = SamViTConfig(img_size=48, patch_size=16, embed_dim=32, depth=2,
+                       num_heads=2, window_size=2, global_attn_indexes=(),
+                       neck_dim=32)  # grid 3 -> pads to 4 with ws=2
+    params = init_sam_vit(jax.random.PRNGKey(0), cfg)
+    for b in params["blocks"]:
+        b["rel_pos_h"] = 0.3 * jax.random.normal(jax.random.PRNGKey(1),
+                                                 b["rel_pos_h"].shape)
+        b["rel_pos_w"] = 0.3 * jax.random.normal(jax.random.PRNGKey(2),
+                                                 b["rel_pos_w"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 48, 48, 3))
+    dense = sam_vit_apply(params, x, cfg)
+    fused_cfg = dataclasses.replace(cfg, fused_window_blocks=True,
+                                    use_rel_pos=True, flash_interpret=True)
+    fused = sam_vit_apply(params, x, fused_cfg)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(dense),
+                               atol=5e-5, rtol=1e-4)
