@@ -1,3 +1,13 @@
-from . import common, tinyvit, prompt_encoder, mask_decoder, sam
+from . import (
+    birefnet,
+    common,
+    mask_decoder,
+    prompt_encoder,
+    sam,
+    swin,
+    tinyvit,
+    vit_sam,
+)
 
-__all__ = ["common", "tinyvit", "prompt_encoder", "mask_decoder", "sam"]
+__all__ = ["birefnet", "common", "mask_decoder", "prompt_encoder", "sam",
+           "swin", "tinyvit", "vit_sam"]
