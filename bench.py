@@ -17,10 +17,43 @@ would see).
 
 import argparse
 import json
+import os
 import statistics
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _probe_with_timeout():
+    """The remote-TPU relay can die (see CLAUDE.md); a dead relay makes
+    every jax call hang forever, so probe device init in a subprocess."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=90)
+        if r.returncode == 0 and "ok" in r.stdout:
+            return True
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
+def _maybe_fallback_to_cpu():
+    if os.environ.get("DLIMG_BENCH_REEXEC") == "1":
+        return
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    if _probe_with_timeout():
+        return
+    print("accelerator relay unreachable; re-running bench on CPU",
+          file=sys.stderr)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DLIMG_BENCH_REEXEC"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
 def median_ms(fn, iters):
@@ -33,6 +66,7 @@ def median_ms(fn, iters):
 
 
 def main():
+    _maybe_fallback_to_cpu()
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="mobile_sam")
     ap.add_argument("--size", type=int, default=1024, help="input image size")
