@@ -167,3 +167,22 @@ def test_largest_component_empty():
     mask = np.zeros((8, 8), bool)
     out = np.asarray(largest_component_mask(jnp.asarray(mask)))
     assert not out.any()
+
+
+def test_resample_2d_batched():
+    rng = np.random.default_rng(5)
+    imgs = rng.random((2, 16, 16, 3)).astype(np.float32)
+    out = np.asarray(resample_2d(jnp.asarray(imgs), 8, 8, 8, 8, 16, 16))
+    assert out.shape == (2, 8, 8, 3)
+    for b in range(2):
+        ref = np.stack([torch_interp(imgs[b, :, :, c], (8, 8))
+                        for c in range(3)], -1)
+        np.testing.assert_allclose(out[b], ref, atol=1e-5)
+
+
+def test_resample_identity_is_exact():
+    rng = np.random.default_rng(6)
+    img = rng.random((12, 12, 1)).astype(np.float32)
+    out = np.asarray(resample_2d(jnp.asarray(img), 12, 12, 12, 12, 12, 12,
+                                 antialias=True))
+    np.testing.assert_allclose(out, img, atol=1e-6)
