@@ -87,3 +87,32 @@ def test_birefnet_kind_escalation():
     assert kind_for(Extent(1536, 1536)) == "general"
     assert kind_for(Extent(1537, 100)) == "high_res"
     assert kind_for(Extent(100, 1800)) == "high_res"
+
+
+def test_swin_shift_mask_structure():
+    """Shifted-window attention mask: tokens attend iff they lie in the same
+    pre-shift region (standard Swin construction)."""
+    from dlimgedit_tpu.models.swin import _shift_attn_mask
+
+    pH = pW = 8
+    ws, shift = 4, 2
+    mask = _shift_attn_mask(pH, pW, ws, shift)
+    assert mask.shape == (4, 16, 16)
+    # Window 0 (top-left) contains a single region -> fully visible.
+    assert (mask[0] == 0).all()
+    # The bottom-right window mixes 4 regions -> some pairs masked.
+    assert (mask[-1] < 0).any()
+    # Mask is symmetric (visibility is mutual).
+    np.testing.assert_array_equal(mask[-1], mask[-1].transpose(1, 0))
+
+
+def test_swin_patch_merge_odd_dims():
+    from dlimgedit_tpu.models.swin import SwinConfig, init_swin, swin_apply
+
+    cfg = SwinConfig(embed_dim=8, depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2),
+                     window=4)
+    params = init_swin(jax.random.PRNGKey(0), cfg)
+    # 40 -> patch 4 -> 10 -> merge pads odd 5 -> 3 -> 2.
+    x = jnp.zeros((1, 40, 40, 3))
+    feats = swin_apply(params, x, cfg)
+    assert [f.shape[1] for f in feats] == [10, 5, 3, 2]
