@@ -148,8 +148,15 @@ def layer_norm(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray
 
 
 def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, params["w"].astype(x.dtype),
-                preferred_element_type=jnp.float32, precision=HIGHEST).astype(x.dtype)
+    if "w_q" in params:
+        # Weight-only int8 (ops/quant.py): dequant fuses into the matmul
+        # operand read — half the weight HBM traffic of bf16.
+        w = (params["w_q"].astype(x.dtype)
+             * params["w_scale"].astype(x.dtype))
+    else:
+        w = params["w"].astype(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32,
+                precision=HIGHEST).astype(x.dtype)
     if "b" in params:
         y = y + params["b"].astype(x.dtype)
     return y

@@ -61,13 +61,17 @@ class SamModelBundle:
     """A loaded SAM variant: config + params resident on the target device."""
 
     def __init__(self, cfg: sam_lib.SamConfig, params: Any, device,
-                 compute_dtype):
+                 compute_dtype, quantize: bool = False):
         self.cfg = cfg
         self.compute_dtype = compute_dtype
         # Encoder weights follow the compute dtype (bf16 on TPU); the prompt
         # encoder / decoder stay f32 (tiny + numerics-sensitive).
         params = dict(params)
         params["encoder"] = cast_tree(params["encoder"], compute_dtype)
+        if quantize:
+            from ..ops.quant import quantize_encoder
+
+            params["encoder"] = quantize_encoder(params["encoder"])
         self.params = jax.device_put(params, device)
 
 
@@ -142,7 +146,8 @@ class Environment:
             raise ModelNotFoundError(
                 f"Model file not found: {path} (convert a checkpoint with "
                 f"dlimgedit_tpu.convert, or set allow_random_weights)")
-        return SamModelBundle(cfg, params, self.device, self.compute_dtype)
+        return SamModelBundle(cfg, params, self.device, self.compute_dtype,
+                              quantize=self.options.quantize_encoder)
 
     def birefnet_model(self, kind: str = "general"):
         from .birefnet import load_birefnet  # local import: optional model

@@ -189,6 +189,9 @@ class Options:
     largest_region_object: bool = False
     # Record per-executable call latencies (Environment.profiler.report()).
     enable_profiling: bool = False
+    # Weight-only int8 quantisation of encoder projection weights
+    # (ops/quant.py) — halves encoder weight memory/bandwidth.
+    quantize_encoder: bool = False
     # Preprocess resize: "device" (fused antialiased bilinear on TPU — the
     # fast path, matches SAM upstream semantics) or "host" (stb-semantics
     # sRGB Mitchell/Catmull-Rom resize on CPU — the reference's exact
