@@ -179,3 +179,58 @@ def test_bn_folding_math():
           / np.sqrt(sd["m.bn.running_var"] + 1e-5)
           * sd["m.bn.weight"] + sd["m.bn.bias"])
     np.testing.assert_allclose(y, bn, atol=1e-4)
+
+
+def test_swin_backbone_conversion_structure():
+    """Synthetic torch-Swin state dict converts to a tree structurally equal
+    to init_swin's output (so real BiRefNet backbones drop in)."""
+    from dlimgedit_tpu.convert.birefnet import convert_swin_backbone
+    from dlimgedit_tpu.models.swin import SwinConfig, init_swin
+
+    cfg = SwinConfig()  # swin_v1_tiny
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def lin(prefix, cin, cout):
+        sd[f"{prefix}.weight"] = rng.standard_normal(
+            (cout, cin)).astype(np.float32)
+        sd[f"{prefix}.bias"] = rng.standard_normal(cout).astype(np.float32)
+
+    def ln(prefix, dim):
+        sd[f"{prefix}.weight"] = np.ones(dim, np.float32)
+        sd[f"{prefix}.bias"] = np.zeros(dim, np.float32)
+
+    sd["bb.patch_embed.proj.weight"] = rng.standard_normal(
+        (cfg.embed_dim, 3, 4, 4)).astype(np.float32)
+    sd["bb.patch_embed.proj.bias"] = rng.standard_normal(
+        cfg.embed_dim).astype(np.float32)
+    ln("bb.patch_embed.norm", cfg.embed_dim)
+    for i in range(4):
+        dim = cfg.stage_dim(i)
+        for j in range(cfg.depths[i]):
+            b = f"bb.layers.{i}.blocks.{j}"
+            ln(f"{b}.norm1", dim)
+            lin(f"{b}.attn.qkv", dim, 3 * dim)
+            lin(f"{b}.attn.proj", dim, dim)
+            sd[f"{b}.attn.relative_position_bias_table"] = \
+                rng.standard_normal(((2 * cfg.window - 1) ** 2,
+                                     cfg.num_heads[i])).astype(np.float32)
+            ln(f"{b}.norm2", dim)
+            lin(f"{b}.mlp.fc1", dim, 4 * dim)
+            lin(f"{b}.mlp.fc2", 4 * dim, dim)
+        if i < 3:
+            d = f"bb.layers.{i}.downsample"
+            ln(f"{d}.norm", 4 * dim)
+            sd[f"{d}.reduction.weight"] = rng.standard_normal(
+                (2 * dim, 4 * dim)).astype(np.float32)
+
+    converted = convert_swin_backbone(sd)
+    reference = init_swin(jax.random.PRNGKey(0), cfg)
+    flat_c = flatten_tree(converted)
+    flat_r = flatten_tree(jax.tree_util.tree_map(np.asarray, reference))
+    assert set(flat_c.keys()) == set(flat_r.keys()), (
+        sorted(set(flat_r) - set(flat_c))[:5],
+        sorted(set(flat_c) - set(flat_r))[:5])
+    for k in flat_r:
+        assert flat_c[k].shape == flat_r[k].shape, (
+            k, flat_c[k].shape, flat_r[k].shape)
