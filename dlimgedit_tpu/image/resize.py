@@ -122,11 +122,14 @@ def linear_to_srgb_u8(lin: np.ndarray) -> np.ndarray:
 # Public resize ops
 # ---------------------------------------------------------------------------
 
-def _resample(arr: np.ndarray, target: Extent, kernel: str) -> np.ndarray:
-    """Separable resample of float (H, W, C) data."""
+def _resample(arr: np.ndarray, target: Extent, kernel: str,
+              kernel_w: str | None = None) -> np.ndarray:
+    """Separable resample of float (H, W, C) data. `kernel` filters the H
+    axis; `kernel_w` (default: same) the W axis — stb v1 picks the default
+    filter per axis from each axis's own scale."""
     h_in, w_in = arr.shape[:2]
     mh = filter_matrix(h_in, target.height, kernel)
-    mw = filter_matrix(w_in, target.width, kernel)
+    mw = filter_matrix(w_in, target.width, kernel_w or kernel)
     # (H', W', C) = mh @ arr @ mw^T, batched over channels.
     out = np.einsum("ij,jkc->ikc", mh, arr)
     out = np.einsum("ikc,lk->ilc", out, mw)
@@ -144,10 +147,13 @@ def resize(img: ImageView | Image, target: Extent) -> Image:
     arr = view.pixels
     if arr.ndim == 2:
         arr = arr[:, :, None]
-    up = target.width >= view.extent.width and target.height >= view.extent.height
-    kernel = "catmull-rom" if up else "mitchell"
+    # stb v1 STBIR_FILTER_DEFAULT selects per axis from that axis's own
+    # scale: Catmull-Rom when magnifying, Mitchell when minifying — mixed
+    # up/down resizes use different kernels on H and W.
+    kh = "catmull-rom" if target.height >= view.extent.height else "mitchell"
+    kw = "catmull-rom" if target.width >= view.extent.width else "mitchell"
     lin = srgb_to_linear(arr)
-    out = _resample(lin, target, kernel)
+    out = _resample(lin, target, kh, kw)
     return Image(target, view.channels, linear_to_srgb_u8(out))
 
 

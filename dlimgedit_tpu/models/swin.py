@@ -198,7 +198,12 @@ def _patch_merge(params: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     if pad_b or pad_r:
         x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         H, W = H + pad_b, W + pad_r
-    x = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    # 4C block order must match torch Swin-v1 PatchMerging's
+    # cat([x0, x1, x2, x3]) = (h0w0, h1w0, h0w1, h1w1): w-parity is the
+    # outer 2C split and h-parity the inner — checkpoints converted by
+    # convert/birefnet.py copy norm/reduction weights verbatim and depend
+    # on this layout (see tests/test_birefnet.py patch-merge parity).
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 4, 2, 5)
     x = x.reshape(B, H // 2, W // 2, 4 * C)
     x = layer_norm(params["norm"], x, eps=eps)
     return linear(params["reduction"], x)

@@ -215,11 +215,15 @@ def _vit_block(params: Params, x: jnp.ndarray, cfg: SamViTConfig, window: int
         # Kernel-sliced windows: no physical partition/head transposes.
         from ..ops.flash_attention import windowed_attention_fused
 
-        qkv = linear(params["qkv"], x)  # (B, H, W, 3C)
+        # Pad x BEFORE the qkv projection (as the dense path does): pad
+        # tokens must have k/v equal to the qkv bias, not zero, or valid
+        # queries in edge windows see spurious zero keys under real
+        # checkpoints (the bias is nonzero there).
         pad_b = (window - H % window) % window
         pad_r = (window - W % window) % window
         if pad_b or pad_r:
-            qkv = jnp.pad(qkv, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        qkv = linear(params["qkv"], x)  # (B, H+pad, W+pad, 3C)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         idx = np.arange(window)[:, None] - np.arange(window)[None, :] \
             + window - 1

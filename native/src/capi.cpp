@@ -242,7 +242,17 @@ dlimg_Result api_load_image(char const* filepath, int* out_extent,
         return dlimg_error;
     }
     size_t n = size_t(w) * h * c;
+    if (!PyBytes_Check(bytes) || size_t(PyBytes_Size(bytes)) < n) {
+        set_error("load_image: pixel buffer shorter than width*height*channels");
+        Py_DECREF(r);
+        return dlimg_error;
+    }
     uint8_t* buf = static_cast<uint8_t*>(std::malloc(n));
+    if (!buf) {
+        set_error("load_image: allocation failed");
+        Py_DECREF(r);
+        return dlimg_error;
+    }
     std::memcpy(buf, PyBytes_AsString(bytes), n);
     Py_DECREF(r);
     out_extent[0] = w;

@@ -106,6 +106,39 @@ def test_swin_shift_mask_structure():
     np.testing.assert_array_equal(mask[-1], mask[-1].transpose(1, 0))
 
 
+def test_swin_patch_merge_torch_parity():
+    """_patch_merge must reproduce torch Swin-v1 PatchMerging numerically:
+    the 4C concat order is cat([x0, x1, x2, x3]) = (h0w0, h1w0, h0w1, h1w1)
+    — converted checkpoints copy norm/reduction weights verbatim, so a
+    swapped block order corrupts every feature after stage 0."""
+    import torch
+    import torch.nn.functional as F
+
+    from dlimgedit_tpu.models.swin import _patch_merge
+
+    rng = np.random.default_rng(3)
+    B, H, W, C = 2, 6, 8, 5
+    x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    scale = rng.standard_normal(4 * C).astype(np.float32)
+    bias = rng.standard_normal(4 * C).astype(np.float32)
+    w = rng.standard_normal((4 * C, 2 * C)).astype(np.float32)
+
+    params = {"norm": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)},
+              "reduction": {"w": jnp.asarray(w)}}
+    got = np.asarray(_patch_merge(params, jnp.asarray(x), eps=1e-5))
+
+    xt = torch.from_numpy(x)
+    x0 = xt[:, 0::2, 0::2, :]
+    x1 = xt[:, 1::2, 0::2, :]
+    x2 = xt[:, 0::2, 1::2, :]
+    x3 = xt[:, 1::2, 1::2, :]
+    cat = torch.cat([x0, x1, x2, x3], -1)
+    normed = F.layer_norm(cat, (4 * C,), torch.from_numpy(scale),
+                          torch.from_numpy(bias), eps=1e-5)
+    want = (normed @ torch.from_numpy(w)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_swin_patch_merge_odd_dims():
     from dlimgedit_tpu.models.swin import SwinConfig, init_swin, swin_apply
 

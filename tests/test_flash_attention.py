@@ -77,6 +77,11 @@ def test_vit_fused_window_blocks_matches_dense():
                                                  b["rel_pos_h"].shape)
         b["rel_pos_w"] = 0.3 * jax.random.normal(jax.random.PRNGKey(2),
                                                  b["rel_pos_w"].shape)
+        # Real checkpoints have nonzero qkv bias; pad tokens in edge windows
+        # must carry it (k/v = bias), so randomize it here to catch
+        # zero-padded-qkv regressions.
+        b["qkv"]["b"] = 0.5 * jax.random.normal(jax.random.PRNGKey(4),
+                                                b["qkv"]["b"].shape)
     x = jax.random.normal(jax.random.PRNGKey(3), (1, 48, 48, 3))
     dense = sam_vit_apply(params, x, cfg)
     fused_cfg = dataclasses.replace(cfg, fused_window_blocks=True,
