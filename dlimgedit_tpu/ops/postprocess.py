@@ -56,6 +56,30 @@ def threshold_mask(logits: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(logits > 0, jnp.uint8(255), jnp.uint8(0))
 
 
+def pack_mask_bits(logits: jnp.ndarray) -> jnp.ndarray:
+    """Threshold logits and pack 8 pixels/byte along the last axis (MSB
+    first, np.unpackbits order): (..., W) -> (..., W//8) uint8.
+
+    Device-side compression of the D2H mask payload — on remote-attached
+    TPUs the fetch RPC cost scales with payload size, so shipping bits
+    instead of bytes cuts the 1 MB @1024^2 canvas to 128 KB. W must be a
+    multiple of 8 (canvas buckets are powers of two)."""
+    bits = (logits > 0).astype(jnp.uint8)
+    *lead, w = bits.shape
+    assert w % 8 == 0, f"width {w} not a multiple of 8"
+    bits = bits.reshape(*lead, w // 8, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (bits * weights).sum(axis=-1).astype(jnp.uint8)
+
+
+def unpack_mask_bits(packed: "np.ndarray", width: int) -> "np.ndarray":
+    """Host inverse of pack_mask_bits: (..., W//8) u8 -> (..., W) u8 {0,255}."""
+    import numpy as np
+
+    bits = np.unpackbits(packed, axis=-1, count=width)
+    return bits * np.uint8(255)
+
+
 def sigmoid_to_u8(logits: jnp.ndarray) -> jnp.ndarray:
     """BiRefNet postprocess: uint8(sigmoid(x) * 255), truncation like the
     reference's C cast (segmentation.cpp:258-270)."""

@@ -29,7 +29,11 @@ import numpy as np
 from ..image.resize import resize_longest_side_extent, transform_point
 from ..models import sam as sam_lib
 from ..ops.connected import largest_component_mask
-from ..ops.postprocess import threshold_mask, upsample_mask_logits
+from ..ops.postprocess import (
+    pack_mask_bits,
+    unpack_mask_bits,
+    upsample_mask_logits,
+)
 from ..ops.preprocess import pack_rgb_canvas, pick_bucket, sam_preprocess
 from ..types import Channels, Extent, Image, ImageView, Point, Region
 from .environment import Environment
@@ -71,7 +75,7 @@ def _build_batch_decode_fn(bundle, out_bucket: int):
         logits = upsample_mask_logits(masks[:, 0][None], out_bucket,
                                       cfg.image_size, sizes[0], sizes[1],
                                       sizes[2], sizes[3])
-        return threshold_mask(logits)[0], iou[:, 0]
+        return pack_mask_bits(logits)[0], iou[:, 0]
 
     return jax.jit(run)
 
@@ -96,7 +100,9 @@ def _build_decode_fn(bundle, out_bucket: int, multimask: bool,
             masks = jax.vmap(jax.vmap(keep_largest))(masks)
         logits = upsample_mask_logits(masks, out_bucket, cfg.image_size,
                                       sizes[0], sizes[1], sizes[2], sizes[3])
-        return threshold_mask(logits)[0], iou[0]
+        # Bit-pack on device: the D2H payload is 8x smaller (fetch-RPC bound
+        # on remote-attached TPUs); the host unpacks with np.unpackbits.
+        return pack_mask_bits(logits)[0], iou[0]
 
     return jax.jit(run)
 
@@ -199,9 +205,13 @@ class Segmentation:
             lambda: _build_decode_fn(bundle, bucket, multimask,
                                      largest_component))
         # ONE device_get for both outputs: through remote-attached TPUs every
-        # D2H fetch is a ~tens-of-ms RPC, so fetch count dominates latency.
-        mask_u8, iou = jax.device_get(
+        # D2H fetch is a ~tens-of-ms RPC, so fetch count AND payload size
+        # dominate latency. The device ships bit-packed rows (bucket^2/8
+        # bytes); unpack only the valid rows here.
+        packed, iou = jax.device_get(
             decode(bundle.params, self._embedding, points, labels, sizes))
+        mask_u8 = unpack_mask_bits(packed[:, :self._original.height, :],
+                                   bucket)
         return mask_u8, iou
 
     def _to_mask_image(self, mask_canvas: np.ndarray) -> Image:
@@ -260,8 +270,10 @@ class Segmentation:
         decode = env.executable(
             ("decode_batch", self._variant, bucket, padded),
             lambda: _build_batch_decode_fn(bundle, bucket))
-        mask_u8, iou = jax.device_get(
+        packed, iou = jax.device_get(
             decode(bundle.params, self._embedding, points, labels, sizes))
+        mask_u8 = unpack_mask_bits(packed[:, :self._original.height, :],
+                                   bucket)
         return [Mask(self._to_mask_image(mask_u8[i]), float(iou[i]))
                 for i in range(n)]
 

@@ -94,6 +94,18 @@ def test_threshold_mask():
     np.testing.assert_array_equal(out, [[0, 255, 0, 255]])
 
 
+def test_pack_unpack_mask_bits_roundtrip():
+    from dlimgedit_tpu.ops.postprocess import pack_mask_bits, unpack_mask_bits
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((3, 5, 32)).astype(np.float32)
+    packed = np.asarray(pack_mask_bits(jnp.asarray(logits)))
+    assert packed.shape == (3, 5, 4) and packed.dtype == np.uint8
+    out = unpack_mask_bits(packed, 32)
+    np.testing.assert_array_equal(out, np.asarray(threshold_mask(
+        jnp.asarray(logits))))
+
+
 def test_sigmoid_to_u8_matches_reference_cast():
     # BiRefNet.process_mask semantics (test_segmentation.cpp:170-180).
     vals = np.array([0.0, 0.2, -3.1, 5.5, 0.7, 0.9], np.float32)
