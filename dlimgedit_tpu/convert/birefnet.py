@@ -1,27 +1,30 @@
-"""BiRefNet checkpoint conversion — Swin backbone mapper.
+"""BiRefNet checkpoint conversion — full model (backbone + decoder).
 
-Offline tool. Upstream BiRefNet checkpoints (ZhengPeng7/BiRefNet; exported
-as the reference's birefnet_*.onnx, models/segmentation/CMakeLists.txt:19-28)
-embed a standard Swin-v1 backbone under `bb.*`. This converter maps that
-backbone onto models/swin.py's pytree. The decoder head of this framework is
-a documented TPU-native simplification of the upstream decoder (see
-models/birefnet.py), so decoder weights are NOT converted — fine-tune the
-decoder with train/ against the converted backbone, or extend `DECODER_TODO`
-when full upstream-decoder parity lands.
+Offline tool. Maps upstream BiRefNet checkpoints (ZhengPeng7/BiRefNet; the
+source of the reference's birefnet_*.onnx exports,
+/root/reference/models/segmentation/CMakeLists.txt:19-28) onto
+models/birefnet.py's pytree:
 
-Swin layout mapping (torch microsoft/Swin-Transformer naming):
-  patch_embed.proj (conv OIHW) + patch_embed.norm
-  layers.{i}.blocks.{j}.norm1 / attn.{qkv,proj,relative_position_bias_table}
-                     / norm2 / mlp.{fc1,fc2}
-  layers.{i}.downsample.{norm,reduction}
-The relative-position index construction in models/swin._rel_pos_index is
-the standard one, so `relative_position_bias_table` drops in unchanged.
+  bb.*                                  -> backbone (standard Swin-v1)
+  squeeze_module.0.*                    -> squeeze (BasicDecBlk)
+  decoder.ipt_blk{1..5}.*               -> decoder.ipt_blk{1..5} (SimpleConvs)
+  decoder.decoder_block{1..4}.*         -> decoder.dec{1..4} (BasicDecBlk)
+  decoder.lateral_block{2..4}.conv      -> decoder.lat{2..4}
+  decoder.gdt_convs_{2,3,4}.*           -> decoder.gdt{2,3,4} (BN folded)
+  decoder.gdt_convs_attn_{2,3,4}.0      -> decoder.gdt_attn{2,3,4}
+  decoder.conv_out1.0                   -> decoder.head
+
+All eval-mode BatchNorms are folded into the preceding conv (w' = w*s,
+b' = (b - mean)*s + beta with s = gamma/rsqrt(var + eps), eps=1e-5).
+Training-only heads (conv_ms_spvn_*, gdt_convs_pred_*) are dropped.
+Conversion is shape-driven — it works for any backbone width, which the
+structure/parity tests exploit with a scaled-down Swin.
 """
 
 from __future__ import annotations
 
 import sys
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -44,10 +47,18 @@ def _ln(sd, prefix):
             "bias": _np(sd[f"{prefix}.bias"])}
 
 
-def convert_swin_backbone(sd, prefix="bb.", depths=(2, 2, 6, 2)
-                          ) -> Dict[str, Any]:
-    """Standard torch Swin-v1 state dict -> models/swin.py pytree."""
+def convert_swin_backbone(sd, prefix="bb.", depths=None) -> Dict[str, Any]:
+    """Standard torch Swin-v1 state dict -> models/swin.py pytree.
+    `depths` defaults to probing the state dict (shape-driven)."""
     p = prefix
+    if depths is None:
+        depths = []
+        for i in range(4):
+            j = 0
+            while f"{p}layers.{i}.blocks.{j}.norm1.weight" in sd:
+                j += 1
+            depths.append(j)
+        depths = tuple(depths)
     params: Dict[str, Any] = {
         "patch_embed": {
             "w": _np(sd[f"{p}patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
@@ -89,6 +100,97 @@ def convert_swin_backbone(sd, prefix="bb.", depths=(2, 2, 6, 2)
     return params
 
 
+# ---------------------------------------------------------------------------
+# Decoder conversion (BN folding)
+# ---------------------------------------------------------------------------
+
+def _conv_hwio(sd, prefix) -> Dict[str, np.ndarray]:
+    """Plain torch Conv2d -> {w (HWIO), b?}."""
+    p = {"w": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        p["b"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def _conv_bn_fold(sd, conv_prefix, bn_prefix, eps=1e-5) -> Dict[str, np.ndarray]:
+    """conv (+optional bias) followed by eval-mode BatchNorm2d -> {w, b}."""
+    w = _np(sd[f"{conv_prefix}.weight"]).transpose(2, 3, 1, 0)
+    b = (_np(sd[f"{conv_prefix}.bias"])
+         if f"{conv_prefix}.bias" in sd else np.zeros(w.shape[-1], np.float32))
+    if f"{bn_prefix}.weight" not in sd:  # bn was nn.Identity
+        return {"w": w, "b": b}
+    gamma = _np(sd[f"{bn_prefix}.weight"])
+    beta = _np(sd[f"{bn_prefix}.bias"])
+    mean = _np(sd[f"{bn_prefix}.running_mean"])
+    var = _np(sd[f"{bn_prefix}.running_var"])
+    s = gamma / np.sqrt(var + eps)
+    return {"w": w * s, "b": (b - mean) * s + beta}
+
+
+def _deform_module(sd, prefix) -> Dict[str, Any]:
+    """_ASPPModuleDeformable: atrous_conv (DeformableConv2d) + bn + relu."""
+    a = f"{prefix}.atrous_conv"
+    return {
+        "offset": _conv_hwio(sd, f"{a}.offset_conv"),
+        "modulator": _conv_hwio(sd, f"{a}.modulator_conv"),
+        "conv": _conv_bn_fold(sd, f"{a}.regular_conv", f"{prefix}.bn"),
+    }
+
+
+def _aspp(sd, prefix) -> Dict[str, Any]:
+    deforms = []
+    i = 0
+    while f"{prefix}.aspp_deforms.{i}.atrous_conv.regular_conv.weight" in sd:
+        deforms.append(_deform_module(sd, f"{prefix}.aspp_deforms.{i}"))
+        i += 1
+    return {
+        "aspp1": _deform_module(sd, f"{prefix}.aspp1"),
+        "deforms": deforms,
+        "gap": _conv_bn_fold(sd, f"{prefix}.global_avg_pool.1",
+                             f"{prefix}.global_avg_pool.2"),
+        "proj": _conv_bn_fold(sd, f"{prefix}.conv1", f"{prefix}.bn1"),
+    }
+
+
+def _dec_blk(sd, prefix) -> Dict[str, Any]:
+    return {
+        "conv_in": _conv_bn_fold(sd, f"{prefix}.conv_in", f"{prefix}.bn_in"),
+        "aspp": _aspp(sd, f"{prefix}.dec_att"),
+        "conv_out": _conv_bn_fold(sd, f"{prefix}.conv_out",
+                                  f"{prefix}.bn_out"),
+    }
+
+
+def _simple_convs(sd, prefix) -> Dict[str, Any]:
+    return {"conv1": _conv_hwio(sd, f"{prefix}.conv1"),
+            "conv_out": _conv_hwio(sd, f"{prefix}.conv_out")}
+
+
+def convert_decoder(sd) -> Dict[str, Any]:
+    d = "decoder"
+    dec: Dict[str, Any] = {}
+    for i in range(1, 6):
+        dec[f"ipt_blk{i}"] = _simple_convs(sd, f"{d}.ipt_blk{i}")
+    for i in range(1, 5):
+        dec[f"dec{i}"] = _dec_blk(sd, f"{d}.decoder_block{i}")
+    for i in range(2, 5):
+        dec[f"lat{i}"] = _conv_hwio(sd, f"{d}.lateral_block{i}.conv")
+        dec[f"gdt{i}"] = _conv_bn_fold(sd, f"{d}.gdt_convs_{i}.0",
+                                       f"{d}.gdt_convs_{i}.1")
+        dec[f"gdt_attn{i}"] = _conv_hwio(sd, f"{d}.gdt_convs_attn_{i}.0")
+    dec["head"] = _conv_hwio(sd, f"{d}.conv_out1.0")
+    return dec
+
+
+def convert_checkpoint(sd) -> Dict[str, Any]:
+    """Full BiRefNet state dict -> models/birefnet.py pytree."""
+    return {
+        "backbone": convert_swin_backbone(sd),
+        "squeeze": _dec_blk(sd, "squeeze_module.0"),
+        "decoder": convert_decoder(sd),
+    }
+
+
 def main(argv=None):
     argv = argv or sys.argv[1:]
     if len(argv) < 2:
@@ -96,20 +198,14 @@ def main(argv=None):
         return 1
     import torch
 
-    from ..models.birefnet import BiRefNetConfig, init_birefnet
     from ..utils.pytree_io import save_pytree
 
-    sd = torch.load(argv[0], map_location="cpu")
+    sd = torch.load(argv[0], map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    cfg = BiRefNetConfig()
-    import jax
-
-    params = init_birefnet(jax.random.PRNGKey(0), cfg)  # decoder stays init
-    params["backbone"] = convert_swin_backbone(sd)
+    params = convert_checkpoint(sd)
     save_pytree(argv[1], params)
-    print(f"wrote {argv[1]} (backbone converted; decoder randomly "
-          f"initialised — fine-tune with dlimgedit_tpu.train)")
+    print(f"wrote {argv[1]} (full BiRefNet: backbone + decoder)")
     return 0
 
 

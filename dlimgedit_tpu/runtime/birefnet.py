@@ -58,6 +58,18 @@ def load_birefnet(env, kind: str) -> BiRefNetBundle:
             return BiRefNetBundle(cfg, load_pytree(path), env.device,
                                   env.compute_dtype, resolution)
     if env.options.allow_random_weights:
+        if os.environ.get("DLIMG_BIREFNET_TEST_SLIM") == "1":
+            # Hermetic-test shortcut: a narrow Swin + slim decoder keeps the
+            # (random-weights) pipeline smoke tests fast on CPU. Production
+            # bundles always use the full config above.
+            from ..models.swin import SwinConfig
+
+            cfg = BiRefNetConfig(
+                img_size=resolution,
+                swin_cfg=SwinConfig(embed_dim=16, depths=(1, 1, 1, 1),
+                                    num_heads=(2, 2, 2, 2), window=4),
+                dec_inter_channels=8, aspp_channelster=12, gdt_channels=4,
+                aspp_kernel_sizes=(1, 3))
         params = init_birefnet(jax.random.PRNGKey(0), cfg)
         return BiRefNetBundle(cfg, params, env.device, env.compute_dtype,
                               resolution)

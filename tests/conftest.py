@@ -13,6 +13,10 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Random-weights BiRefNet pipeline tests run against a slim config (the
+# full-width model is exercised by the parity/structure tests and on TPU).
+os.environ.setdefault("DLIMG_BIREFNET_TEST_SLIM", "1")
+
 import jax
 import numpy as np
 import pytest
