@@ -16,8 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Parameter-path fragments eligible for quantisation (2D matmul weights).
-QUANT_KEYS = ("qkv", "proj", "fc1", "fc2", "lin1", "lin2")
+# Module names (exact last path segment) eligible for quantisation — the 2D
+# matmul weights of attention/MLP blocks. Exact matching (not substring) so
+# that e.g. a future conv module merely *containing* "proj" in its name can
+# never be caught by accident.
+QUANT_KEYS = frozenset({"qkv", "proj", "fc1", "fc2", "lin1", "lin2"})
 
 
 def quantize_weight(w: jnp.ndarray):
@@ -29,21 +32,52 @@ def quantize_weight(w: jnp.ndarray):
 
 
 def dequantize_weight(w_q: jnp.ndarray, scale: jnp.ndarray, dtype):
-    return w_q.astype(dtype) * scale.astype(dtype)
+    """Dequantise in f32 and round once to `dtype` (one rounding error
+    instead of two; XLA still fuses the expansion into the consumer)."""
+    return (w_q.astype(jnp.float32) * scale.astype(jnp.float32)).astype(dtype)
 
 
-def quantize_encoder(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_activations_int8(x: jnp.ndarray):
+    """Dynamic per-token symmetric int8 activation quantisation.
+    x: (..., C) float -> (q int8 (..., C), scale f32 (..., 1))."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(ax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_linear(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    """s8 x s8 -> s32 MXU matmul with dynamic per-token activation scales.
+
+    The serving analog of the reference's fp16 GPU ONNX variant pushed one
+    step further: int8 doubles MXU throughput on v5e vs bf16 and halves
+    both operand streams. y = (q_x @ w_q8) * x_scale * w_scale + b."""
+    q_x, x_scale = quantize_activations_int8(x)
+    acc = jnp.dot(q_x, params["w_q8"], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * x_scale * params["w_scale"].astype(jnp.float32)
+    y = y.astype(x.dtype)
+    if "b" in params:
+        y = y + params["b"].astype(x.dtype)
+    return y
+
+
+def quantize_encoder(params: Dict[str, Any],
+                     act_int8: bool = False) -> Dict[str, Any]:
     """Return a copy of an encoder param tree with eligible linear weights
-    replaced by {"w_q", "w_scale"} (consumed by models.common.linear)."""
+    replaced by {"w_q", "w_scale"} (weight-only int8) or {"w_q8", "w_scale"}
+    (int8 weights AND dynamic int8 activations — the s8 x s8 MXU path). Both
+    are consumed by models.common.linear, dispatched on the key name."""
+    wkey = "w_q8" if act_int8 else "w_q"
 
     def walk(node, path=""):
         if isinstance(node, dict):
             if ("w" in node and not isinstance(node["w"], dict)
                     and getattr(node["w"], "ndim", 0) == 2
-                    and any(k in path for k in QUANT_KEYS)):
+                    and path.rsplit("/", 1)[-1] in QUANT_KEYS):
                 w_q, scale = quantize_weight(jnp.asarray(node["w"]))
                 rest = {k: v for k, v in node.items() if k != "w"}
-                return {**rest, "w_q": w_q, "w_scale": scale}
+                return {**rest, wkey: w_q, "w_scale": scale}
             return {k: walk(v, f"{path}/{k}") for k, v in node.items()}
         if isinstance(node, list):
             return [walk(v, f"{path}/{i}") for i, v in enumerate(node)]

@@ -41,6 +41,19 @@ SAM_BUNDLES = {
 }
 
 
+def _enable_compilation_cache(cache_dir: str) -> None:
+    """Persist compiled executables to `cache_dir` (XLA persistent
+    compilation cache). Every executable the Environment builds is
+    AOT-serialised on first compile and reloaded by later processes —
+    see tools/aot_warmup.py for pre-filling at install time."""
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Cache everything: the per-bucket programs are exactly what deployment
+    # wants to never recompile, however fast an individual compile is.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def _accelerator_devices():
     try:
         return [d for d in jax.devices() if d.platform not in ("cpu",)]
@@ -61,17 +74,21 @@ class SamModelBundle:
     """A loaded SAM variant: config + params resident on the target device."""
 
     def __init__(self, cfg: sam_lib.SamConfig, params: Any, device,
-                 compute_dtype, quantize: bool = False):
+                 compute_dtype, quantize: bool = False,
+                 quantize_activations: bool = False):
         self.cfg = cfg
         self.compute_dtype = compute_dtype
         # Encoder weights follow the compute dtype (bf16 on TPU); the prompt
-        # encoder / decoder stay f32 (tiny + numerics-sensitive).
+        # encoder / decoder stay f32 (tiny + numerics-sensitive). Quantise
+        # BEFORE the cast so int8 scales come from the f32 weights, not from
+        # bf16-rounded ones (cast_tree leaves w_q/w_scale untouched).
         params = dict(params)
-        params["encoder"] = cast_tree(params["encoder"], compute_dtype)
         if quantize:
             from ..ops.quant import quantize_encoder
 
-            params["encoder"] = quantize_encoder(params["encoder"])
+            params["encoder"] = quantize_encoder(
+                params["encoder"], act_int8=quantize_activations)
+        params["encoder"] = cast_tree(params["encoder"], compute_dtype)
         self.params = jax.device_put(params, device)
 
 
@@ -81,6 +98,8 @@ class Environment:
 
     def __init__(self, options: Optional[Options] = None):
         self.options = options or Options()
+        if self.options.compilation_cache_dir:
+            _enable_compilation_cache(self.options.compilation_cache_dir)
         self.model_directory = Path(self.options.model_directory)
         if (not self.options.allow_random_weights
                 and not self.model_directory.is_dir()):
@@ -146,8 +165,10 @@ class Environment:
             raise ModelNotFoundError(
                 f"Model file not found: {path} (convert a checkpoint with "
                 f"dlimgedit_tpu.convert, or set allow_random_weights)")
-        return SamModelBundle(cfg, params, self.device, self.compute_dtype,
-                              quantize=self.options.quantize_encoder)
+        return SamModelBundle(
+            cfg, params, self.device, self.compute_dtype,
+            quantize=self.options.quantize_encoder,
+            quantize_activations=self.options.quantize_activations)
 
     def birefnet_model(self, kind: str = "general"):
         from .birefnet import load_birefnet  # local import: optional model
