@@ -13,6 +13,8 @@ comes from environment variables:
   DLIMG_SAM_VARIANT=vit_b       — encoder variant (default mobile_sam)
   DLIMG_SAM_IMAGE_SIZE=512      — model input resolution (default 1024)
   DLIMG_COMPUTE_DTYPE=float32   — encoder compute dtype (default bfloat16)
+  DLIMG_COMPILATION_CACHE=/path — persistent XLA compile cache (AOT reuse;
+                                  pre-fill with tools/aot_warmup.py)
 """
 
 from __future__ import annotations
@@ -52,6 +54,7 @@ def create_environment(backend: int, model_directory: str) -> Environment:
         sam_variant=os.environ.get("DLIMG_SAM_VARIANT", "mobile_sam"),
         sam_image_size=int(os.environ.get("DLIMG_SAM_IMAGE_SIZE", "1024")),
         compute_dtype=os.environ.get("DLIMG_COMPUTE_DTYPE", "bfloat16"),
+        compilation_cache_dir=os.environ.get("DLIMG_COMPILATION_CACHE"),
     )
     return Environment(opts)
 

@@ -28,6 +28,25 @@ def test_kernel_matches_dense(shape):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_kernel_row_blocking_branch_matches_dense():
+    """Real-geometry branch: N > 256 selects block_q = grid_w (the global
+    64x64 ViT layers take this path on TPU) — assert correctness, not just
+    shapes, on an 18x18 grid (N=324 > 256, 18 row-programs per group)."""
+    gh = gw = 18
+    hd = 32
+    N = gh * gw
+    rng = np.random.default_rng(5)
+    q, k, v = (jnp.asarray(rng.standard_normal((2, N, hd)).astype(np.float32))
+               for _ in range(3))
+    rh = jnp.asarray(rng.standard_normal((gh, gh, hd)).astype(np.float32) * 0.3)
+    rw = jnp.asarray(rng.standard_normal((gw, gw, hd)).astype(np.float32) * 0.3)
+    assert N > 256 and N % gw == 0  # guards the row-blocking branch choice
+    ref = attention_reference(q, k, v, rh, rw, gh, gw)
+    out = flash_attention_relpos(q, k, v, rh, rw, grid_h=gh, grid_w=gw,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 def test_vit_flash_path_matches_dense():
     """sam_vit_apply with the flash path == the dense path."""
     import dataclasses

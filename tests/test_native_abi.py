@@ -9,7 +9,6 @@ paths the standalone C++ embedder uses.
 
 import ctypes
 import os
-import subprocess
 from pathlib import Path
 
 import numpy as np
@@ -68,14 +67,9 @@ class DlimgApi(ctypes.Structure):
 
 @pytest.fixture(scope="module")
 def api():
-    if not SO_PATH.exists():
-        r = subprocess.run(
-            ["bash", "-c",
-             f"cmake -S {REPO}/native -B {REPO}/native/build -G Ninja && "
-             f"cmake --build {REPO}/native/build"],
-            capture_output=True, text=True)
-        if r.returncode != 0:
-            pytest.skip(f"native build failed: {r.stderr[-500:]}")
+    from _native_build import ensure_native_build
+
+    ensure_native_build(SO_PATH)
     os.environ["DLIMG_ALLOW_RANDOM_WEIGHTS"] = "1"
     os.environ["DLIMG_SAM_IMAGE_SIZE"] = "128"
     os.environ["DLIMG_COMPUTE_DTYPE"] = "float32"

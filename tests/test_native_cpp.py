@@ -6,21 +6,14 @@ import os
 import subprocess
 from pathlib import Path
 
-import pytest
-
 REPO = Path(__file__).resolve().parent.parent
 BIN = REPO / "native" / "build" / "test_cpp_api"
 
 
 def test_cpp_api_end_to_end():
-    if not BIN.exists():
-        r = subprocess.run(
-            ["bash", "-c",
-             f"cmake -S {REPO}/native -B {REPO}/native/build -G Ninja && "
-             f"cmake --build {REPO}/native/build"],
-            capture_output=True, text=True)
-        if r.returncode != 0:
-            pytest.skip(f"native build failed: {r.stderr[-500:]}")
+    from _native_build import ensure_native_build
+
+    ensure_native_build(BIN)
     env = dict(os.environ)
     env.update({
         "DLIMG_ALLOW_RANDOM_WEIGHTS": "1",
