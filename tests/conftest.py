@@ -13,6 +13,10 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Persist compiled test executables across suite runs (keyed on HLO+flags, so
+# it can never go stale): the first run pays the compiles (the 8-device
+# train-step dominates), later runs load serialized executables.
+
 # Random-weights BiRefNet pipeline tests run against a slim config (the
 # full-width model is exercised by the parity/structure tests and on TPU).
 os.environ.setdefault("DLIMG_BIREFNET_TEST_SLIM", "1")
@@ -27,6 +31,14 @@ try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:
     pass
+
+# Persist compiled test executables across suite runs (keyed on HLO+flags,
+# so it can never go stale): the first run pays the compiles (the 8-device
+# train-step dominates), later runs load serialized executables. Set via
+# jax.config (not env vars): a pytest plugin imports jax before this file.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 @pytest.fixture(scope="session")
