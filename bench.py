@@ -200,21 +200,41 @@ def main():
     sizes = jax.device_put(np.array([args.size] * 4, np.int32), env.device)
     NCH = 10
 
-    def chained_process(params, canvas, sizes):
-        def body(i, acc):
-            x = sam_preprocess(canvas, sizes[0] + (acc * 1e-20).astype(jnp.int32),
-                               sizes[1], sizes[2], sizes[3],
-                               image_size=cfg.image_size,
-                               compute_dtype=bundle.compute_dtype)
-            e = sam_lib.encode_image(params, cfg, x)
-            return jnp.sum(e.astype(jnp.float32))
-        return lax.fori_loop(0, NCH, body, jnp.float32(0))
+    def slope_ms(make_fn, fn_args, reps=4):
+        """True per-iteration device time via a two-point slope:
+        (T(2N) - T(N)) / N. Cancels EVERY fixed cost — dispatch, the
+        tunnel's ~28 ms sync round-trip, fetch — which at N=10 would
+        otherwise inflate each iteration by ~3 ms."""
+        f1 = jax.jit(make_fn(NCH))
+        f2 = jax.jit(make_fn(2 * NCH))
+        jax.device_get(f1(*fn_args))
+        jax.device_get(f2(*fn_args))
 
-    f = jax.jit(chained_process)
-    jax.device_get(f(bundle.params, canvas, sizes))
-    t0 = time.perf_counter()
-    jax.device_get(f(bundle.params, canvas, sizes))
-    dev_process_ms = (time.perf_counter() - t0) * 1e3 / NCH
+        def best(f):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                jax.device_get(f(*fn_args))
+                ts.append((time.perf_counter() - t0) * 1e3)
+            return min(ts)
+
+        return max(best(f2) - best(f1), 0.0) / NCH
+
+    def make_chained_process(nch):
+        def chained_process(params, canvas, sizes):
+            def body(i, acc):
+                x = sam_preprocess(
+                    canvas, sizes[0] + (acc * 1e-20).astype(jnp.int32),
+                    sizes[1], sizes[2], sizes[3],
+                    image_size=cfg.image_size,
+                    compute_dtype=bundle.compute_dtype)
+                e = sam_lib.encode_image(params, cfg, x)
+                return jnp.sum(e.astype(jnp.float32))
+            return lax.fori_loop(0, nch, body, jnp.float32(0))
+        return chained_process
+
+    dev_process_ms = slope_ms(make_chained_process,
+                              (bundle.params, canvas, sizes))
 
     embed = _build_embed_fn(bundle)
     emb = embed(bundle.params, canvas, sizes)
@@ -222,25 +242,25 @@ def main():
                                      np.float32), env.device)
     labels = jax.device_put(np.array([[1.0, -1.0]], np.float32), env.device)
 
-    def chained_decode(params, emb, points, labels, sizes):
-        from dlimgedit_tpu.ops.postprocess import (
-            threshold_mask, upsample_mask_logits)
+    def make_chained_decode(nch):
+        def chained_decode(params, emb, points, labels, sizes):
+            from dlimgedit_tpu.ops.postprocess import (
+                threshold_mask, upsample_mask_logits)
 
-        def body(i, acc):
-            m, iou = sam_lib.decode_masks(
-                params, cfg, emb + acc * 1e-20, points, labels,
-                multimask=False)
-            logits = upsample_mask_logits(m, bucket, cfg.image_size, sizes[0],
-                                          sizes[1], sizes[2], sizes[3])
-            u8 = threshold_mask(logits)
-            return jnp.sum(u8.astype(jnp.float32)) * 1e-9 + jnp.sum(iou)
-        return lax.fori_loop(0, NCH, body, jnp.float32(0))
+            def body(i, acc):
+                m, iou = sam_lib.decode_masks(
+                    params, cfg, emb + acc * 1e-20, points, labels,
+                    multimask=False)
+                logits = upsample_mask_logits(m, bucket, cfg.image_size,
+                                              sizes[0], sizes[1], sizes[2],
+                                              sizes[3])
+                u8 = threshold_mask(logits)
+                return jnp.sum(u8.astype(jnp.float32)) * 1e-9 + jnp.sum(iou)
+            return lax.fori_loop(0, nch, body, jnp.float32(0))
+        return chained_decode
 
-    g = jax.jit(chained_decode)
-    jax.device_get(g(bundle.params, emb, points, labels, sizes))
-    t0 = time.perf_counter()
-    jax.device_get(g(bundle.params, emb, points, labels, sizes))
-    dev_mask_ms = (time.perf_counter() - t0) * 1e3 / NCH
+    dev_mask_ms = slope_ms(make_chained_decode,
+                           (bundle.params, emb, points, labels, sizes))
 
     platform = jax.devices()[0].platform
     baseline_process_ms = 50.0  # reference GPU (README.md:35)

@@ -120,9 +120,41 @@ def init_conv_bn(key, cin, cout, ks, groups: int = 1, bn_weight_init: float = 1.
     }
 
 
+def conv2d_im2col(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
+                  padding: int = 0) -> jnp.ndarray:
+    """Conv as shifted strided slices + ONE matmul (im2col).
+
+    Measured on v5e (round 2): NOT a win for the TinyViT stem — the 9
+    strided passes over the lane-padded NHWC C=3 tensor cost ~5x the native
+    conv's true device time (~5.2 vs ~1.1 ms @1024). Kept (with exact-parity
+    unit tests) as the building block for geometries where a single fat
+    matmul beats XLA's conv lowering; not used by default anywhere."""
+    B, H, W, C = x.shape
+    kh, kw, _, O = w.shape
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    Ho = (H + 2 * padding - kh) // stride + 1
+    Wo = (W + 2 * padding - kw) // stride + 1
+    cols = [
+        jax.lax.slice(x, (0, i, j, 0),
+                      (B, i + (Ho - 1) * stride + 1,
+                       j + (Wo - 1) * stride + 1, C),
+                      (1, stride, stride, 1))
+        for i in range(kh) for j in range(kw)
+    ]
+    patches = jnp.concatenate(cols, axis=-1)          # (B, Ho, Wo, kh*kw*C)
+    wmat = w.astype(x.dtype).reshape(kh * kw * C, O)  # tap-major == cols order
+    return jnp.einsum("bhwk,ko->bhwo", patches, wmat,
+                      preferred_element_type=jnp.float32,
+                      precision=HIGHEST).astype(x.dtype)
+
+
 def conv_bn(params: Params, x: jnp.ndarray, stride: int = 1, padding: int = 0,
-            groups: int = 1) -> jnp.ndarray:
-    y = conv2d(x, params["w"], stride, padding, groups)
+            groups: int = 1, im2col: bool = False) -> jnp.ndarray:
+    if im2col and groups == 1:
+        y = conv2d_im2col(x, params["w"], stride, padding)
+    else:
+        y = conv2d(x, params["w"], stride, padding, groups)
     return y * params["scale"].astype(y.dtype) + params["bias"].astype(y.dtype)
 
 

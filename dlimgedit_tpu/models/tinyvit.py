@@ -270,6 +270,9 @@ def tiny_vit_apply(params: Params, x: jnp.ndarray,
     """Forward pass. x: (B, img_size, img_size, 3) float (already normalised).
     Returns (B, 64, 64, neck_dim) NHWC embedding."""
     pe = params["patch_embed"]
+    # Native convs: measured on v5e @1024 the stem is ~1.1 ms true device
+    # time; an im2col reformulation (common.conv2d_im2col) was tried and is
+    # ~5x SLOWER here (9 strided passes over the lane-padded C=3 tensor).
     x = gelu(conv_bn(pe["conv1"], x, stride=2, padding=1))
     x = conv_bn(pe["conv2"], x, stride=2, padding=1)
 

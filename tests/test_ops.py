@@ -198,3 +198,21 @@ def test_resample_identity_is_exact():
     out = np.asarray(resample_2d(jnp.asarray(img), 12, 12, 12, 12, 12, 12,
                                  antialias=True))
     np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_conv2d_im2col_matches_native():
+    """conv2d_im2col (strided-slice + one matmul form) is exact vs the
+    native conv for stem-like geometries (kept as a building block; on-chip
+    measurement showed the native lowering wins for the TinyViT stem)."""
+    import jax.numpy as jnp
+
+    from dlimgedit_tpu.models.common import conv2d, conv2d_im2col
+
+    rng = np.random.default_rng(7)
+    for (H, C, O, k, s, p) in [(16, 3, 32, 3, 2, 1), (12, 32, 64, 3, 2, 1),
+                               (9, 5, 7, 3, 1, 1), (8, 4, 6, 2, 2, 0)]:
+        x = jnp.asarray(rng.standard_normal((2, H, H, C)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((k, k, C, O)).astype(np.float32))
+        a = conv2d(x, w, stride=s, padding=p)
+        b = conv2d_im2col(x, w, stride=s, padding=p)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
