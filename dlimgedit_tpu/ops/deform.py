@@ -23,7 +23,10 @@ def _bilinear_sample(x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
                      ) -> jnp.ndarray:
     """Sample x (B, H, W, C) at float positions (py, px) (B, H', W') with
     bilinear interpolation; taps outside the image contribute zero (the
-    torchvision deform_conv2d boundary rule)."""
+    torchvision deform_conv2d boundary rule). Reference form (4 gathers);
+    kept as the oracle for `_corner_stack` + `_bilinear_sample_stacked`,
+    which the conv uses (TPU row-gathers are launch-bound, so one gather of
+    4C-wide rows beats four gathers of C-wide rows ~4x)."""
     B, H, W, C = x.shape
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)
@@ -46,6 +49,52 @@ def _bilinear_sample(x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
             + tap(y0 + 1, x0 + 1) * wy * wx)
 
 
+def _corner_stack(x: jnp.ndarray):
+    """Precompute the 4-corner map for stacked bilinear sampling.
+
+    Pads x by (1 top/left, 2 bottom/right) with zeros and concatenates the
+    four 2x2-corner shifts on the channel axis, so ONE row-gather at
+    flattened index (y0+1, x0+1) fetches all four bilinear corners, with
+    out-of-image corners reading genuine zeros (the torchvision boundary
+    rule) for any y0 in [-1, H], x0 in [-1, W]."""
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    Hp, Wp = H + 3, W + 3
+    stack = jnp.concatenate([
+        xp[:, :-1, :-1, :],   # corner (y0,   x0  )
+        xp[:, :-1, 1:, :],    # corner (y0,   x0+1)
+        xp[:, 1:, :-1, :],    # corner (y0+1, x0  )
+        xp[:, 1:, 1:, :],     # corner (y0+1, x0+1)
+    ], axis=-1)               # (B, Hp-1, Wp-1, 4C)
+    return stack.reshape(B, (Hp - 1) * (Wp - 1), 4 * C), (H, W, Wp - 1)
+
+
+def _bilinear_sample_stacked(stack_info, py: jnp.ndarray, px: jnp.ndarray,
+                             C: int, dtype) -> jnp.ndarray:
+    """Bilinear sample using a `_corner_stack` map: one gather per tap."""
+    stack, (H, W, Ws) = stack_info
+    B = stack.shape[0]
+    oh, ow = py.shape[-2:]
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    wy = (py - y0)[..., None]
+    wx = (px - x0)[..., None]
+    # Zero iff the 2x2 cell misses the image entirely; inside that range the
+    # padded stack already returns exact zeros for out-of-image corners.
+    box = ((py > -1.0) & (py < H) & (px > -1.0) & (px < W))
+    yc = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
+    xc = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
+    idx = (yc * Ws + xc).reshape(B, oh * ow, 1)
+    v4 = jnp.take_along_axis(stack, idx, axis=1).reshape(B, oh, ow, 4, C)
+    w00 = (1 - wy) * (1 - wx)
+    w01 = (1 - wy) * wx
+    w10 = wy * (1 - wx)
+    w11 = wy * wx
+    out = (v4[..., 0, :] * w00 + v4[..., 1, :] * w01
+           + v4[..., 2, :] * w10 + v4[..., 3, :] * w11)
+    return (out * box[..., None].astype(out.dtype)).astype(dtype)
+
+
 def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   w: jnp.ndarray, bias: jnp.ndarray | None = None,
                   padding: int = 0) -> jnp.ndarray:
@@ -62,13 +111,15 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     kh, kw, _, cout = w.shape
     ys = jnp.arange(H, dtype=offset.dtype)[:, None]
     xs = jnp.arange(W, dtype=offset.dtype)[None, :]
+    stack_info = _corner_stack(x)  # shared by every kernel tap
     out = jnp.zeros((B, H, W, cout), jnp.float32)
     for ky in range(kh):
         for kx in range(kw):
             k = ky * kw + kx
             py = ys + (ky - padding) + offset[..., 2 * k]
             px = xs + (kx - padding) + offset[..., 2 * k + 1]
-            val = _bilinear_sample(x, py, px) * mask[..., k:k + 1]
+            val = _bilinear_sample_stacked(stack_info, py, px, C,
+                                           jnp.float32) * mask[..., k:k + 1]
             out = out + jnp.einsum(
                 "bhwc,co->bhwo", val, w[ky, kx].astype(val.dtype),
                 preferred_element_type=jnp.float32, precision=HIGHEST)

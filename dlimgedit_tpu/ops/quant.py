@@ -1,11 +1,22 @@
-"""Weight-only int8 quantisation for encoder parameters.
+"""int8 quantisation for encoder parameters (weight-only and s8 x s8).
 
 The serving-efficiency analog of the reference shipping fp16 ONNX variants
 for GPU (models/segmentation/CMakeLists.txt:24-28): 2D projection weights
 (qkv / proj / MLP) are stored as int8 with per-output-channel scales and
 dequantised into the matmul operand (XLA fuses the dequant into the MXU
 read), halving the weight HBM traffic of the big ViT encoders. Norms,
-biases, tables and convs stay in full precision.
+biases, tables and convs stay in full precision. `act_int8` additionally
+quantises activations per-token so projections run s8 x s8 -> s32 on the
+MXU.
+
+Measured on v5e @1024, batch 1 (round 2, slope method): neither mode
+changes encode latency (TinyViT 6.8 bf16 / 6.8 w8 / 8.4 w8a8 ms — the
+dynamic activation quant costs more VPU time than the int8 MXU saves at
+these batch-1 shapes; ViT-B 25.6 / 25.6 / 26.7 ms — compute-bound in bf16).
+The value of these modes here is MEMORY: int8 weights halve encoder HBM
+residency (all four SAM variants + BiRefNet fit together comfortably),
+and w8a8 is the right starting point for large-batch serving where the
+MXU int8 rate dominates.
 """
 
 from __future__ import annotations
