@@ -45,8 +45,6 @@ from .common import (
     init_mlp,
     layer_norm,
     linear,
-    linear_init,
-    mlp_ln,
     trunc_normal,
 )
 
@@ -63,6 +61,12 @@ class TinyViTConfig:
     mbconv_expand_ratio: float = 4.0
     local_conv_size: int = 3
     neck_dim: int = 256
+    # Fused Pallas LayerNorm (ops/fused_norm.py). Measured on v5e @1024:
+    # a net LOSS for TinyViT (6.8 -> 8.0 ms; row-padding copies for the
+    # 361x49 window layout outweigh the fusion win that holds for big
+    # ViTs), so the Environment leaves it off; kept for other geometries.
+    use_fused_norm: bool = False
+    fused_interpret: bool = False
 
     @property
     def patch_resolution(self) -> int:
@@ -185,13 +189,23 @@ def init_tiny_vit(key, cfg: TinyViTConfig = TinyViTConfig(),
 # Apply
 # ---------------------------------------------------------------------------
 
-def _attention(params: Params, x: jnp.ndarray, num_heads: int, window: int
-               ) -> jnp.ndarray:
+def _ln(params: Params, x: jnp.ndarray, cfg: TinyViTConfig,
+        eps: float = 1e-5) -> jnp.ndarray:
+    if cfg.use_fused_norm:
+        from ..ops.fused_norm import fused_layer_norm
+
+        return fused_layer_norm(x, params["scale"], params["bias"], eps=eps,
+                                interpret=cfg.fused_interpret)
+    return layer_norm(params, x, eps=eps)
+
+
+def _attention(params: Params, x: jnp.ndarray, num_heads: int, window: int,
+               cfg: TinyViTConfig) -> jnp.ndarray:
     """LeViT-style biased attention over (B, N, C) tokens, N = window**2."""
     B, N, C = x.shape
     key_dim = C // num_heads
     scale = key_dim ** -0.5
-    x = layer_norm(params["norm"], x)
+    x = _ln(params["norm"], x, cfg)
     qkv = linear(params["qkv"], x)
     qkv = qkv.reshape(B, N, num_heads, 3 * key_dim)
     q = qkv[..., :key_dim]
@@ -249,20 +263,28 @@ def _patch_merging(params: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
     return conv_bn(params["conv3"], x)
 
 
+def _mlp_ln(params: Params, x: jnp.ndarray, cfg: TinyViTConfig) -> jnp.ndarray:
+    y = _ln(params["norm"], x, cfg)
+    y = gelu(linear(params["fc1"], y))
+    return linear(params["fc2"], y)
+
+
 def _tiny_vit_block(params: Params, x: jnp.ndarray, num_heads: int, ws: int,
-                    local_conv_size: int) -> jnp.ndarray:
+                    cfg: TinyViTConfig) -> jnp.ndarray:
     B, H, W, C = x.shape
+    local_conv_size = cfg.local_conv_size
     shortcut = x
     if H == ws and W == ws:
-        att = _attention(params["attn"], x.reshape(B, H * W, C), num_heads, ws)
+        att = _attention(params["attn"], x.reshape(B, H * W, C), num_heads,
+                         ws, cfg)
         att = att.reshape(B, H, W, C)
     else:
         wx, meta = _window_partition(x, ws)
-        wx = _attention(params["attn"], wx, num_heads, ws)
+        wx = _attention(params["attn"], wx, num_heads, ws, cfg)
         att = _window_unpartition(wx, ws, meta, H, W, C)
     x = shortcut + att
     x = conv_bn(params["local_conv"], x, padding=local_conv_size // 2, groups=C)
-    return x + mlp_ln(params["mlp"], x)
+    return x + _mlp_ln(params["mlp"], x, cfg)
 
 
 def tiny_vit_apply(params: Params, x: jnp.ndarray,
@@ -282,8 +304,8 @@ def tiny_vit_apply(params: Params, x: jnp.ndarray,
                 x = _mbconv(bp, x)
         else:
             for bp in stage["blocks"]:
-                x = _tiny_vit_block(bp, x, cfg.num_heads[i], cfg.window_sizes[i],
-                                    cfg.local_conv_size)
+                x = _tiny_vit_block(bp, x, cfg.num_heads[i],
+                                    cfg.window_sizes[i], cfg)
         if "downsample" in stage:
             # Stride-1 merge into the last stage keeps 64x64 (MobileSAM).
             stride = 1 if cfg.embed_dims[i + 1] in (320, 448, 576) else 2
@@ -291,7 +313,7 @@ def tiny_vit_apply(params: Params, x: jnp.ndarray,
 
     neck = params["neck"]
     x = conv2d(x, neck["conv1"]["w"].astype(x.dtype))
-    x = layer_norm(neck["ln1"], x, eps=1e-6)
+    x = _ln(neck["ln1"], x, cfg, eps=1e-6)
     x = conv2d(x, neck["conv2"]["w"].astype(x.dtype), padding=1)
-    x = layer_norm(neck["ln2"], x, eps=1e-6)
+    x = _ln(neck["ln2"], x, cfg, eps=1e-6)
     return x

@@ -39,14 +39,20 @@ def fused_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     for d in orig_shape[:-1]:
         n *= d
     x2 = x.reshape(n, C)
-    # Rows per program: a power of two dividing n, targeting ~2 MB f32.
+    # Rows per program: a power of two (multiple of 8, the sublane tile, as
+    # Mosaic requires), targeting ~2 MB f32. Row counts that don't divide —
+    # e.g. TinyViT's 361 windows x 49 tokens = 17689 rows — are padded up;
+    # padded rows normalise garbage that is sliced off afterwards.
     target = max(8, (2 * 1024 * 1024) // (C * 4))
-    rows = 1
-    while rows * 2 <= min(n, target) and n % (rows * 2) == 0:
+    rows = 8
+    while rows * 2 <= target:
         rows *= 2
+    n_pad = ((n + rows - 1) // rows) * rows
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps),
-        grid=(n // rows,),
+        grid=(n_pad // rows,),
         in_specs=[
             pl.BlockSpec((rows, C), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -55,7 +61,9 @@ def fused_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((rows, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, C), x.dtype),
         interpret=interpret,
     )(x2, scale, bias)
+    if n_pad != n:
+        out = out[:n]
     return out.reshape(orig_shape)

@@ -156,6 +156,10 @@ class Environment:
             cfg = dataclasses.replace(
                 cfg, encoder_vit=dataclasses.replace(
                     cfg.encoder_vit, use_flash_attention=True))
+        # TinyViT stays on stock XLA LayerNorm: the fused Pallas LN measured
+        # SLOWER there (6.8 -> 8.0 ms @1024 on v5e — row-padding copies for
+        # the 361x49-token window layout outweigh the fusion win that holds
+        # for the big ViTs' 4096x{768..1280} tensors).
         path = self.model_directory / "segmentation" / SAM_BUNDLES[variant]
         if path.exists():
             params = self._verified_load(path)

@@ -27,3 +27,22 @@ def test_fused_layer_norm_bf16_dtype_preserved():
     out = fused_layer_norm(x, scale, bias, interpret=True)
     assert out.dtype == jnp.bfloat16
     assert out.shape == (4, 4, 64)
+
+
+def test_tinyvit_fused_norm_matches_stock():
+    """TinyViT with use_fused_norm (the TPU config) == the stock LN path."""
+    import dataclasses
+
+    import jax
+
+    from dlimgedit_tpu.models import tinyvit
+
+    cfg = tinyvit.TinyViTConfig(img_size=64)
+    params = tinyvit.init_tiny_vit(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    stock = tinyvit.tiny_vit_apply(params, x, cfg)
+    fused_cfg = dataclasses.replace(cfg, use_fused_norm=True,
+                                    fused_interpret=True)
+    fused = tinyvit.tiny_vit_apply(params, x, fused_cfg)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(stock),
+                               atol=2e-5, rtol=1e-4)
