@@ -29,19 +29,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, grid_h: int,
+def _kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *, grid_h: int,
             grid_w: int, scale: float):
     """Block shapes (leading singleton = the blocked group dim):
       q_ref:  (1, BQ, hd)      — query block
       k_ref:  (1, N, hd)       — all keys of this attention group
       v_ref:  (1, N, hd)
-      rh_ref: (BQ, gh, hd)     — gathered height table rows for this block
-      rw_ref: (BQ, gw, hd)     — gathered width table rows
+      bh_ref: (1, BQ, gh)      — precomputed q.rh bias half for this block
+      bw_ref: (1, BQ, gw)      — precomputed q.rw bias half
       o_ref:  (1, BQ, hd)
-    """
+
+    The bias halves are batched matmuls the CALLER runs on the MXU once per
+    layer (bh[g,i,y] = q[g,i,:].rh_e[i,y,:]): computing them in-kernel as
+    per-row skinny VPU contractions measured ~1.4 us x 1024 programs on the
+    ViT-H global layers — about a third of the whole kernel's runtime.
+    In-kernel they only need the one-hot expansion to (BQ, N) (MXU, exact
+    0/1 selectors, cheaper than one attention matmul)."""
     N = k_ref.shape[1]
     qn = q_ref[0]                                          # (BQ, hd) native
-    q = qn.astype(jnp.float32)
     k = k_ref[0]                                           # (N, hd)
     v = v_ref[0]
 
@@ -54,27 +59,18 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, grid_h: int,
                             preferred_element_type=jnp.float32,
                             precision=prec) * scale
 
-    # Per-row skinny contractions (VPU), then one-hot expansion (MXU) in
-    # the native dtype: the selectors are exact 0/1, so expansion loses no
-    # precision beyond the dtype of the bias values themselves — and a
-    # full-precision f32 expansion would cost more MXU passes than the
-    # attention matmuls.
-    bh = jnp.sum(q[:, None, :] * rh_ref[...].astype(jnp.float32),
-                 axis=-1)                                  # (BQ, gh)
     sel_h = (jax.lax.broadcasted_iota(jnp.int32, (grid_h, N), 1) // grid_w
              == jax.lax.broadcasted_iota(jnp.int32, (grid_h, N), 0)
              ).astype(qn.dtype)
-    s = s + jax.lax.dot_general(bh.astype(qn.dtype), sel_h,
+    s = s + jax.lax.dot_general(bh_ref[0].astype(qn.dtype), sel_h,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
 
-    bw = jnp.sum(q[:, None, :] * rw_ref[...].astype(jnp.float32),
-                 axis=-1)                                  # (BQ, gw)
     sel_w = (jax.lax.broadcasted_iota(jnp.int32, (grid_w, N), 1) % grid_w
              == jax.lax.broadcasted_iota(jnp.int32, (grid_w, N), 0)
              ).astype(qn.dtype)
-    s = s + jax.lax.dot_general(bw.astype(qn.dtype), sel_w,
+    s = s + jax.lax.dot_general(bw_ref[0].astype(qn.dtype), sel_w,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
@@ -115,6 +111,16 @@ def _attention_grouped(q, k, v, rh_e, rw_e, *, grid_h: int, grid_w: int,
     G, N, hd = q.shape
     assert N == grid_h * grid_w and N % block_q == 0
     scale = hd ** -0.5
+    # Bias halves on the MXU, once per layer (see _kernel docstring):
+    # bh[g, i, y] = q[g, i, :] . rh_e[i, y, :].
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    bh = jnp.einsum("gid,iyd->giy", q, rh_e.astype(q.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=prec).astype(q.dtype)        # (G, N, gh)
+    bw = jnp.einsum("gid,ixd->gix", q, rw_e.astype(q.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=prec).astype(q.dtype)        # (G, N, gw)
     kernel = functools.partial(_kernel, grid_h=grid_h, grid_w=grid_w,
                                scale=scale)
     nq = N // block_q
@@ -128,9 +134,9 @@ def _attention_grouped(q, k, v, rh_e, rw_e, *, grid_h: int, grid_w: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, hd), lambda g, qb: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, grid_h, hd), lambda g, qb: (qb, 0, 0),
+            pl.BlockSpec((1, block_q, grid_h), lambda g, qb: (g, qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, grid_w, hd), lambda g, qb: (qb, 0, 0),
+            pl.BlockSpec((1, block_q, grid_w), lambda g, qb: (g, qb, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, hd), lambda g, qb: (g, qb, 0),
@@ -141,7 +147,7 @@ def _attention_grouped(q, k, v, rh_e, rw_e, *, grid_h: int, grid_w: int,
             bytes_accessed=4 * G * N * hd * 2,
             transcendentals=G * N * N),
         interpret=interpret,
-    )(q, k, v, rh_e, rw_e)
+    )(q, k, v, bh, bw)
 
 
 def flash_attention_relpos(q, k, v, rh, rw, *, grid_h: int, grid_w: int,
@@ -157,7 +163,10 @@ def flash_attention_relpos(q, k, v, rh, rw, *, grid_h: int, grid_w: int,
     else:
         rh_e = jnp.repeat(rh, grid_w, axis=0).astype(q.dtype)
         rw_e = jnp.tile(rw, (grid_h, 1, 1)).astype(q.dtype)
-    block_q = N if N <= 256 else grid_w
+    # Whole group per program for windows; for the big global grids 128-row
+    # q-blocks measured fastest on v5e (1.92 ms vs 2.52 @64 / 2.09 @256 per
+    # ViT-H global layer with the precomputed bias halves).
+    block_q = N if N <= 256 else (128 if N % 128 == 0 else grid_w)
     return _attention_grouped(q, k, v, rh_e, rw_e, grid_h=grid_h,
                               grid_w=grid_w, block_q=block_q,
                               interpret=interpret)
