@@ -216,3 +216,25 @@ def test_conv2d_im2col_matches_native():
         a = conv2d(x, w, stride=s, padding=p)
         b = conv2d_im2col(x, w, stride=s, padding=p)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_gelu_precision_follows_dtype():
+    """bf16 -> tanh GELU (error below the bf16 quantisation step; the TPU
+    serving form), f32 -> exact erf (torch parity form)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dlimgedit_tpu.models.common import gelu
+
+    x32 = jnp.linspace(-4, 4, 257, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(gelu(x32)),
+        np.asarray(jax.nn.gelu(x32, approximate=False)))
+    x16 = x32.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(gelu(x16)),
+        np.asarray(jax.nn.gelu(x16, approximate=True)))
+    # The two forms agree within the bf16 step at unit scale.
+    diff = np.abs(np.asarray(gelu(x16), np.float32)
+                  - np.asarray(gelu(x32), np.float32))
+    assert diff.max() < 0.035
