@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""On-chip microbenchmarks behind every number in BENCH_NOTES.md.
+
+Methodology (see BENCH_NOTES.md "Metric definition"): per-iteration device
+time is the two-point slope (T(2N) - T(N)) / N over chained fori_loop
+programs — one host sync per *program*, so every fixed cost (dispatch, the
+WAN relay's ~28 ms sync round-trip, fetch) cancels. The naive chained/N
+form silently adds sync_floor/N to every number.
+
+Run from the repo root (PYTHONPATH must stay unset — it breaks the axon
+TPU plugin registration; see CLAUDE.md):
+
+    python tools/tpu_microbench.py encoders          # all model families
+    python tools/tpu_microbench.py batch             # batch/throughput scaling
+    python tools/tpu_microbench.py attention         # Pallas kernel vs dense
+    python tools/tpu_microbench.py tinyvit-stages    # per-stage breakdown
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+# Repo root on sys.path without PYTHONPATH (which breaks the axon plugin).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/dlimgedit_tpu/xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax import lax  # noqa: E402
+
+N_CHAIN = 8
+
+
+def slope_ms(fn, args, reps=4):
+    """True per-iteration device time of fn(*args, eps) via 2-point slope."""
+    def make(nch):
+        def chained(*a):
+            def body(i, acc):
+                e = fn(*a, (acc * 1e-20))
+                return jnp.sum(e.astype(jnp.float32))
+            return lax.fori_loop(0, nch, body, jnp.float32(0))
+        return jax.jit(chained)
+
+    f1, f2 = make(N_CHAIN), make(2 * N_CHAIN)
+    jax.device_get(f1(*args))
+    jax.device_get(f2(*args))
+
+    def best(f):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(f(*args))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        return min(ts)
+
+    return max(best(f2) - best(f1), 0.0) / N_CHAIN
+
+
+def _bf16(tree):
+    from dlimgedit_tpu.models.common import cast_tree
+
+    return cast_tree(tree, jnp.bfloat16)
+
+
+def _img(size=1024, key=1):
+    return (jax.random.normal(jax.random.PRNGKey(key), (1, size, size, 3))
+            * 0.5).astype(jnp.bfloat16)
+
+
+def cmd_encoders(dev):
+    from dlimgedit_tpu.models import birefnet, sam as sam_lib, tinyvit, vit_sam
+
+    x = jax.device_put(_img(), dev)
+
+    cfg = tinyvit.TinyViTConfig(img_size=1024)
+    p = jax.device_put(_bf16(tinyvit.init_tiny_vit(jax.random.PRNGKey(0),
+                                                   cfg)), dev)
+    ms = slope_ms(lambda p, xx, e: tinyvit.tiny_vit_apply(
+        p, xx * (1 + e).astype(xx.dtype), cfg), (p, x))
+    print(f"tinyvit (MobileSAM) encode @1024: {ms:7.2f} ms", flush=True)
+
+    for variant in ("vit_b", "vit_l", "vit_h"):
+        vcfg = dataclasses.replace(vit_sam.VIT_PRESETS[variant](1024),
+                                   use_flash_attention=True)
+        p = jax.device_put(_bf16(vit_sam.init_sam_vit(
+            jax.random.PRNGKey(0), vcfg)), dev)
+        ms = slope_ms(lambda p, xx, e, c=vcfg: vit_sam.sam_vit_apply(
+            p, xx * (1 + e).astype(xx.dtype), c), (p, x))
+        print(f"{variant} encode @1024: {ms:7.2f} ms", flush=True)
+
+    bcfg = birefnet.BiRefNetConfig()
+    p = jax.device_put(_bf16(birefnet.init_birefnet(jax.random.PRNGKey(0),
+                                                    bcfg)), dev)
+    ms = slope_ms(lambda p, xx, e: birefnet.birefnet_apply(
+        p, xx * (1 + e).astype(xx.dtype), bcfg), (p, x))
+    print(f"birefnet full graph @1024: {ms:7.2f} ms", flush=True)
+
+    dcfg = sam_lib.make_config("mobile_sam")
+    p = jax.device_put(_bf16(sam_lib.init_sam(jax.random.PRNGKey(0), dcfg)),
+                       dev)
+    emb = jax.device_put((jax.random.normal(
+        jax.random.PRNGKey(2), (1, 64, 64, 256)) * 0.1
+        ).astype(jnp.float32), dev)
+    pts = jax.device_put(np.array([[[512.0, 512.0], [0.0, 0.0]]], np.float32),
+                         dev)
+    lbl = jax.device_put(np.array([[1.0, -1.0]], np.float32), dev)
+    ms = slope_ms(lambda p, e_, pt, lb, eps: sam_lib.decode_masks(
+        p, dcfg, e_ + eps.astype(e_.dtype), pt, lb, multimask=False)[0],
+        (p, emb, pts, lbl))
+    print(f"mask decode (single prompt): {ms:7.3f} ms", flush=True)
+
+
+def cmd_batch(dev):
+    from dlimgedit_tpu.models import sam as sam_lib
+    from dlimgedit_tpu.parallel.batch import decode_prompt_batch
+
+    cfg = sam_lib.make_config("mobile_sam")
+    p = jax.device_put(_bf16(sam_lib.init_sam(jax.random.PRNGKey(0), cfg)),
+                       dev)
+    for B in (1, 2, 4, 8):
+        x = jax.device_put((jax.random.normal(
+            jax.random.PRNGKey(1), (B, 1024, 1024, 3)) * 0.5
+            ).astype(jnp.bfloat16), dev)
+        ms = slope_ms(lambda pp, xx, e: sam_lib.encode_image(
+            pp, cfg, xx * (1 + e).astype(xx.dtype)), (p, x))
+        print(f"encode B={B}: {ms:8.2f} ms ({B / ms * 1e3:6.1f} img/s)",
+              flush=True)
+    emb = jax.device_put((jax.random.normal(
+        jax.random.PRNGKey(2), (1, 64, 64, 256)) * 0.1
+        ).astype(jnp.float32), dev)
+    for P in (1, 8, 32):
+        pts = jax.device_put(np.random.default_rng(0).uniform(
+            0, 1024, (P, 2, 2)).astype(np.float32), dev)
+        lbl = jax.device_put(np.tile(np.array([[1.0, -1.0]], np.float32),
+                                     (P, 1)), dev)
+        ms = slope_ms(lambda pp, e_, pt, lb, eps: decode_prompt_batch(
+            pp, cfg, e_ + eps.astype(e_.dtype), pt, lb, multimask=False)[0],
+            (p, emb, pts, lbl))
+        print(f"decode P={P:3d}: {ms:8.3f} ms ({P / ms * 1e3:7.1f} masks/s)",
+              flush=True)
+
+
+def cmd_attention(dev):
+    from dlimgedit_tpu.ops.flash_attention import (_gathered_tables,
+                                                   attention_reference,
+                                                   flash_attention_relpos)
+
+    G, gh, gw, hd = 16, 64, 64, 80  # ViT-H global geometry
+    N = gh * gw
+    rng = np.random.default_rng(0)
+    mk = lambda: jax.device_put(  # noqa: E731
+        (rng.standard_normal((G, N, hd)) * 0.1).astype(jnp.bfloat16), dev)
+    q, k, v = mk(), mk(), mk()
+    rh = jnp.asarray((rng.standard_normal((2 * gh - 1, hd)) * 0.1
+                      ).astype(np.float32))
+    rh_e, rw_e = _gathered_tables(rh, rh, gh, gw, jnp.bfloat16)
+    ms = slope_ms(lambda q, k, v, e: flash_attention_relpos(
+        q * (1 + e).astype(q.dtype), k, v, rh.astype(jnp.bfloat16),
+        rh.astype(jnp.bfloat16), grid_h=gh, grid_w=gw), (q, k, v))
+    print(f"pallas rel-pos attention (ViT-H global layer): {ms:6.2f} ms",
+          flush=True)
+    rh_g = jnp.take(rh, jnp.asarray(
+        np.arange(gh)[:, None] - np.arange(gh)[None, :] + gh - 1), axis=0)
+    ms = slope_ms(lambda q, k, v, e: attention_reference(
+        q * (1 + e).astype(q.dtype), k, v, rh_g.astype(jnp.bfloat16),
+        rh_g.astype(jnp.bfloat16), gh, gw), (q, k, v))
+    print(f"dense XLA attention (same layer):              {ms:6.2f} ms",
+          flush=True)
+
+
+def cmd_tinyvit_stages(dev):
+    from dlimgedit_tpu.models import tinyvit
+    from dlimgedit_tpu.models.common import conv2d, conv_bn, gelu, layer_norm
+
+    cfg = tinyvit.TinyViTConfig(img_size=1024)
+    p = jax.device_put(_bf16(tinyvit.init_tiny_vit(jax.random.PRNGKey(0),
+                                                   cfg)), dev)
+    x = jax.device_put(_img(), dev)
+
+    def prefix(n_stages, with_neck):
+        def f(pp, xx):
+            pe = pp["patch_embed"]
+            y = gelu(conv_bn(pe["conv1"], xx, stride=2, padding=1))
+            y = conv_bn(pe["conv2"], y, stride=2, padding=1)
+            for i in range(n_stages):
+                stage = pp["stages"][i]
+                if i == 0:
+                    for bp in stage["blocks"]:
+                        y = tinyvit._mbconv(bp, y)
+                else:
+                    for bp in stage["blocks"]:
+                        y = tinyvit._tiny_vit_block(bp, y, cfg.num_heads[i],
+                                                    cfg.window_sizes[i], cfg)
+                if "downsample" in stage:
+                    stride = 1 if cfg.embed_dims[i + 1] in (320, 448, 576) else 2
+                    y = tinyvit._patch_merging(stage["downsample"], y, stride)
+            if with_neck:
+                neck = pp["neck"]
+                y = conv2d(y, neck["conv1"]["w"].astype(y.dtype))
+                y = layer_norm(neck["ln1"], y, eps=1e-6)
+                y = conv2d(y, neck["conv2"]["w"].astype(y.dtype), padding=1)
+                y = layer_norm(neck["ln2"], y, eps=1e-6)
+            return y
+        return f
+
+    prev = 0.0
+    for name, f in [("patch_embed", prefix(0, False)),
+                    ("+stage0", prefix(1, False)),
+                    ("+stage1", prefix(2, False)),
+                    ("+stage2", prefix(3, False)),
+                    ("+stage3", prefix(4, False)),
+                    ("+neck", prefix(4, True))]:
+        ms = slope_ms(lambda pp, xx, e, f=f: f(
+            pp, xx * (1 + e).astype(xx.dtype)), (p, x))
+        print(f"{name:12s} cum {ms:7.3f} ms  delta {ms - prev:7.3f} ms",
+              flush=True)
+        prev = ms
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("command", choices=["encoders", "batch", "attention",
+                                        "tinyvit-stages"])
+    args = ap.parse_args(argv)
+    dev = jax.devices()[0]
+    print(f"device: {dev} (platform {dev.platform})", flush=True)
+    {"encoders": cmd_encoders, "batch": cmd_batch,
+     "attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages
+     }[args.command](dev)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
