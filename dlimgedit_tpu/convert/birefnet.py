@@ -24,7 +24,7 @@ structure/parity tests exploit with a scaled-down Swin.
 from __future__ import annotations
 
 import sys
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 
