@@ -66,6 +66,11 @@ class TinyViTConfig:
     # 361x49 window layout outweigh the fusion win that holds for big
     # ViTs), so the Environment leaves it off; kept for other geometries.
     use_fused_norm: bool = False
+    # Pallas LeViT-bias window attention (ops/flash_attention.py
+    # levit_window_attention). Measured on v5e @1024: a net LOSS (5.61 vs
+    # 4.81 ms encode — XLA handles these window sizes well), so the
+    # Environment leaves it off; kept flag-gated with parity tests.
+    use_flash_attention: bool = False
     fused_interpret: bool = False
 
     @property
@@ -207,14 +212,21 @@ def _attention(params: Params, x: jnp.ndarray, num_heads: int, window: int,
     scale = key_dim ** -0.5
     x = _ln(params["norm"], x, cfg)
     qkv = linear(params["qkv"], x)
-    qkv = qkv.reshape(B, N, num_heads, 3 * key_dim)
-    q = qkv[..., :key_dim]
-    k = qkv[..., key_dim:2 * key_dim]
-    v = qkv[..., 2 * key_dim:]
 
     idxs, _ = attention_bias_idxs(window)
     bias = jnp.take(params["attention_biases"], jnp.asarray(idxs), axis=1)  # (nh,N,N)
 
+    if cfg.use_flash_attention:
+        from ..ops.flash_attention import levit_window_attention
+
+        out = levit_window_attention(qkv, bias, num_heads=num_heads,
+                                     interpret=cfg.fused_interpret)
+        return linear(params["proj"], out)
+
+    qkv = qkv.reshape(B, N, num_heads, 3 * key_dim)
+    q = qkv[..., :key_dim]
+    k = qkv[..., key_dim:2 * key_dim]
+    v = qkv[..., 2 * key_dim:]
     attn = jnp.einsum("bnhk,bmhk->bhnm", q, k,
                       preferred_element_type=jnp.float32, precision=HIGHEST) * scale
     attn = attn + bias.astype(jnp.float32)[None]

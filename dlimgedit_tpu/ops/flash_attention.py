@@ -189,6 +189,78 @@ def attention_reference(q, k, v, rh, rw, grid_h, grid_w):
 
 
 # ---------------------------------------------------------------------------
+# LeViT-style windowed attention with a static per-head bias table (TinyViT)
+# ---------------------------------------------------------------------------
+
+def _levit_kernel(qkv_ref, bias_ref, o_ref, *, kd: int, scale: float):
+    """One program = one window: all heads looped in-kernel.
+
+    qkv_ref: (1, N, nh * 3*kd) — the qkv linear's output as-is, heads sliced
+    by static channel offsets so no head transpose ever materialises.
+    bias_ref: (nh, N, N) static LeViT table (resident across the whole
+    grid). o_ref: (1, N, nh * kd). The (N, N) score/probability tiles live
+    only in VMEM — the XLA lowering writes the (windows, nh, N, N) f32
+    tensor through HBM twice per block."""
+    nh = bias_ref.shape[0]
+    prec = (jax.lax.Precision.HIGHEST if qkv_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    for h in range(nh):
+        c0 = h * 3 * kd
+        q = qkv_ref[0, :, c0:c0 + kd]
+        k = qkv_ref[0, :, c0 + kd:c0 + 2 * kd]
+        v = qkv_ref[0, :, c0 + 2 * kd:c0 + 3 * kd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec) * scale
+        s = s + bias_ref[h].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        o_ref[0, :, h * kd:(h + 1) * kd] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def levit_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray, *,
+                           num_heads: int,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Biased window attention for TinyViT (LeViT construction).
+
+    Measured on v5e (round 2): NOT a win — TinyViT @1024 encodes at 5.61 ms
+    with this kernel vs 4.81 ms dense (XLA already handles the 49/196-token
+    windows well; the kernel's serial head loop and unaligned 3*kd channel
+    slices cost more than the HBM score-tensor round-trips it saves). Kept
+    flag-gated (TinyViTConfig.use_flash_attention) with CPU parity tests;
+    the Environment leaves TinyViT on the dense path.
+
+    qkv:  (G, N, nh * 3*kd) — the qkv linear output per window.
+    bias: (nh, N, N) gathered attention-bias table (static per window size).
+    Returns (G, N, nh * kd)."""
+    G, N, H = qkv.shape
+    kd = H // num_heads // 3
+    return pl.pallas_call(
+        functools.partial(_levit_kernel, kd=kd, scale=kd ** -0.5),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, N, H), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, N, N), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, num_heads * kd), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, N, num_heads * kd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * G * num_heads * N * N * kd,
+            bytes_accessed=2 * G * N * H,
+            transcendentals=G * num_heads * N * N),
+        interpret=interpret,
+    )(qkv, bias)
+
+
+# ---------------------------------------------------------------------------
 # Windowed attention with BlockSpec-sliced windows (no physical partition)
 # ---------------------------------------------------------------------------
 

@@ -108,3 +108,29 @@ def test_vit_fused_window_blocks_matches_dense():
     fused = sam_vit_apply(params, x, fused_cfg)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(dense),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_tinyvit_levit_flash_matches_dense():
+    """TinyViT with the Pallas LeViT-bias window attention (the TPU config)
+    == the dense path, with nonzero attention biases and qkv bias."""
+    import dataclasses
+
+    from dlimgedit_tpu.models import tinyvit
+
+    cfg = tinyvit.TinyViTConfig(img_size=64)
+    params = tinyvit.init_tiny_vit(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(7)
+    for stage in params["stages"][1:]:
+        for b in stage["blocks"]:
+            key, k1, k2 = jax.random.split(key, 3)
+            b["attn"]["attention_biases"] = 0.5 * jax.random.normal(
+                k1, b["attn"]["attention_biases"].shape)
+            b["attn"]["qkv"]["b"] = 0.3 * jax.random.normal(
+                k2, b["attn"]["qkv"]["b"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    dense = tinyvit.tiny_vit_apply(params, x, cfg)
+    fcfg = dataclasses.replace(cfg, use_flash_attention=True,
+                               fused_interpret=True)
+    flash = tinyvit.tiny_vit_apply(params, x, fcfg)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                               atol=5e-5, rtol=1e-4)
