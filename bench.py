@@ -91,6 +91,30 @@ def min_ms(fn, iters):
 
 def main():
     _maybe_fallback_to_cpu()
+    try:
+        _run()
+    except Exception as e:  # noqa: BLE001 — record SOMETHING, always
+        # Mid-run relay failures (HTTP 500 from the remote compile helper,
+        # FailedPrecondition device errors) happen; the recorded artifact
+        # must still be a valid JSON line. Retry once on the accelerator,
+        # then fall back to the CPU path.
+        print(f"bench attempt failed ({type(e).__name__}: {str(e)[:200]}); "
+              f"retrying once", file=sys.stderr)
+        try:
+            _run()
+        except Exception as e2:  # noqa: BLE001
+            if os.environ.get("DLIMG_BENCH_REEXEC") == "1":
+                raise
+            print(f"retry failed ({type(e2).__name__}); re-running on CPU",
+                  file=sys.stderr)
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["DLIMG_BENCH_REEXEC"] = "1"
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+def _run():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="mobile_sam")
     ap.add_argument("--size", type=int, default=1024, help="input image size")
