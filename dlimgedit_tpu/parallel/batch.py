@@ -46,3 +46,26 @@ def decode_prompt_batch(params, cfg: sam_lib.SamConfig, embedding,
         return m[0], i[0]
 
     return jax.vmap(one)(point_coords, point_labels)
+
+
+def segment_frames(params, cfg, frames: jnp.ndarray, mesh=None):
+    """Data-parallel BiRefNet foreground masks for a batch of frames.
+
+    frames: (B, S, S, 3) ImageNet-normalised pixels, B divisible by mesh dp
+    (the streaming analog of `segment_objects` for video/burst workloads —
+    the reference has no batched BiRefNet path at all). Params are
+    replicated (the model is conv-dominated; batch parallelism is the
+    right axis), frames and logits are batch-sharded over dp.
+
+    Returns (B, S, S, 1) foreground logits, batch-sharded."""
+    from ..models.birefnet import birefnet_apply
+
+    mesh = mesh or make_mesh()
+    replicated = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    p_shard = jax.tree_util.tree_map(lambda _: replicated, params)
+    fn = jax.jit(
+        lambda p, x: birefnet_apply(p, x, cfg),
+        in_shardings=(p_shard, batch_sharding(mesh, 4)),
+        out_shardings=batch_sharding(mesh, 4),
+    )
+    return fn(params, frames)

@@ -125,3 +125,28 @@ def test_train_step_sharded(cpu8, small_sam):
             p2, o2, l, _ = step(p2, o2, batch_d)
             losses.append(float(l))
     assert losses[-1] < losses[0]
+
+
+def test_segment_frames_dp_matches_single_device(cpu8):
+    """BiRefNet batched over a dp mesh == per-frame single-device output."""
+    import os
+
+    from dlimgedit_tpu.models import birefnet
+    from dlimgedit_tpu.models.swin import SwinConfig
+    from dlimgedit_tpu.parallel.batch import segment_frames
+
+    assert os.environ.get("DLIMG_BIREFNET_TEST_SLIM") == "1"
+    slim = birefnet.BiRefNetConfig(
+        img_size=64,
+        swin_cfg=SwinConfig(embed_dim=16, depths=(1, 1, 1, 1),
+                            num_heads=(1, 2, 4, 8), window=4))
+    params = birefnet.init_birefnet(jax.random.PRNGKey(0), slim)
+    mesh = make_mesh(8, dp=8, devices=jax.devices("cpu")[:8])
+    rng = np.random.default_rng(4)
+    frames = jnp.asarray(rng.standard_normal((8, 64, 64, 3))
+                         .astype(np.float32))
+    sharded = segment_frames(params, slim, frames, mesh=mesh)
+    single = birefnet.birefnet_apply(params, frames[:1], slim)
+    assert sharded.shape == (8, 64, 64, 1)
+    np.testing.assert_allclose(np.asarray(sharded[0]), np.asarray(single[0]),
+                               atol=3e-4, rtol=1e-3)
