@@ -148,10 +148,12 @@ def resize(img: ImageView | Image, target: Extent) -> Image:
     if arr.ndim == 2:
         arr = arr[:, :, None]
     # stb v1 STBIR_FILTER_DEFAULT selects per axis from that axis's own
-    # scale: Catmull-Rom when magnifying, Mitchell when minifying — mixed
-    # up/down resizes use different kernels on H and W.
-    kh = "catmull-rom" if target.height >= view.extent.height else "mitchell"
-    kw = "catmull-rom" if target.width >= view.extent.width else "mitchell"
+    # scale: Catmull-Rom when magnifying, Mitchell otherwise — STRICTLY
+    # magnifying (stbir__use_upsampling is `ratio > 1`), so an axis that
+    # keeps its size uses Mitchell, like any downsample. Mixed up/down
+    # resizes use different kernels on H and W.
+    kh = "catmull-rom" if target.height > view.extent.height else "mitchell"
+    kw = "catmull-rom" if target.width > view.extent.width else "mitchell"
     lin = srgb_to_linear(arr)
     out = _resample(lin, target, kh, kw)
     return Image(target, view.channels, linear_to_srgb_u8(out))

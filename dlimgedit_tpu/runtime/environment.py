@@ -83,7 +83,9 @@ class SamModelBundle:
         # BEFORE the cast so int8 scales come from the f32 weights, not from
         # bf16-rounded ones (cast_tree leaves w_q/w_scale untouched).
         params = dict(params)
-        if quantize:
+        if quantize or quantize_activations:
+            # quantize_activations implies int8 weights (the s8 x s8 path
+            # needs them); asking for it alone must not silently no-op.
             from ..ops.quant import quantize_encoder
 
             params["encoder"] = quantize_encoder(

@@ -194,7 +194,7 @@ class Options:
     quantize_encoder: bool = False
     # Additionally quantise activations (dynamic per-token int8) so encoder
     # projections run s8 x s8 on the MXU — 2x MXU throughput on v5e.
-    # Requires quantize_encoder=True.
+    # Implies quantize_encoder (int8 weights).
     quantize_activations: bool = False
     # Preprocess resize: "device" (fused antialiased bilinear on TPU — the
     # fast path, matches SAM upstream semantics) or "host" (stb-semantics

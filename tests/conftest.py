@@ -13,10 +13,6 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Persist compiled test executables across suite runs (keyed on HLO+flags, so
-# it can never go stale): the first run pays the compiles (the 8-device
-# train-step dominates), later runs load serialized executables.
-
 # Random-weights BiRefNet pipeline tests run against a slim config (the
 # full-width model is exercised by the parity/structure tests and on TPU).
 os.environ.setdefault("DLIMG_BIREFNET_TEST_SLIM", "1")

@@ -82,3 +82,25 @@ def test_cli_list(capsys):
     assert fetch_models.main(["--list"]) == 0
     out = capsys.readouterr().out
     assert "mobile_sam" in out and "birefnet" in out
+
+
+def test_verify_md5_prefix_pin(tmp_path):
+    """SAM filenames embed MD5 (not sha256) prefixes; verify that kind."""
+    p = _write(tmp_path, b"hello")
+    good_md5 = hashlib.md5(b"hello").hexdigest()
+    pin = tmp_path / "ckpt.bin.sha256"
+    ok = fetch_models.ModelSpec("x", "https://x", "x.npz", "c",
+                                md5_prefix=good_md5[:6])
+    fetch_models.verify_source(ok, p, pin)
+    bad = fetch_models.ModelSpec("x", "https://x", "x.npz", "c",
+                                 md5_prefix="ffffff")
+    with pytest.raises(ValueError, match="md5"):
+        fetch_models.verify_source(bad, p, pin)
+
+
+def test_sam_manifest_entries_use_md5_prefixes():
+    for key in ("vit_b", "vit_l", "vit_h"):
+        spec = fetch_models.MANIFEST[key]
+        frag = spec.url.rsplit("_", 1)[1].split(".")[0]
+        assert spec.md5_prefix == frag  # filename fragment == pinned prefix
+        assert spec.sha256_prefix is None

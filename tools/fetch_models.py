@@ -15,8 +15,10 @@ Usage (network required for --fetch):
         --model-dir models         # offline: convert a local checkpoint
 
 Source integrity: SAM checkpoints from facebookresearch/segment-anything
-embed the first 6 hex chars of their sha256 in the filename — those are
-pinned below and always verified. Checkpoints without a published hash are
+embed the first 6 hex chars of their MD5 in the filename — those are
+pinned below and always verified (MD5 here detects corruption/substitution
+of a known artifact, it is not a collision-resistance claim; the converted
+bundle gets a full sha256 pin). Checkpoints without a published hash are
 trust-on-first-use: the sha256 of the first download is recorded next to the
 cached file and enforced on every later fetch.
 """
@@ -39,7 +41,9 @@ class ModelSpec:
     bundle: str                  # output filename under <model_dir>/segmentation/
     converter: str               # dotted function in dlimgedit_tpu.convert
     sha256: Optional[str] = None          # full pin when published upstream
-    sha256_prefix: Optional[str] = None   # partial pin (SAM filename convention)
+    sha256_prefix: Optional[str] = None   # partial sha256 pin
+    md5_prefix: Optional[str] = None      # partial MD5 pin (the SAM
+    #                                       filename fragment is MD5-derived)
     kwargs: Dict = field(default_factory=dict)
 
 
@@ -55,7 +59,7 @@ MANIFEST = {
         url="https://dl.fbaipublicfiles.com/segment_anything/sam_vit_b_01ec64.pth",
         bundle="sam_vit_b.npz",
         converter="mobile_sam.convert_checkpoint",
-        sha256_prefix="01ec64",
+        md5_prefix="01ec64",
         kwargs={"variant": "vit_b"},
     ),
     "vit_l": ModelSpec(
@@ -63,7 +67,7 @@ MANIFEST = {
         url="https://dl.fbaipublicfiles.com/segment_anything/sam_vit_l_0b3195.pth",
         bundle="sam_vit_l.npz",
         converter="mobile_sam.convert_checkpoint",
-        sha256_prefix="0b3195",
+        md5_prefix="0b3195",
         kwargs={"variant": "vit_l"},
     ),
     "vit_h": ModelSpec(
@@ -71,7 +75,7 @@ MANIFEST = {
         url="https://dl.fbaipublicfiles.com/segment_anything/sam_vit_h_4b8939.pth",
         bundle="sam_vit_h.npz",
         converter="mobile_sam.convert_checkpoint",
-        sha256_prefix="4b8939",
+        md5_prefix="4b8939",
         kwargs={"variant": "vit_h"},
     ),
     "birefnet": ModelSpec(
@@ -92,9 +96,17 @@ def sha256_file(path: Path) -> str:
     return h.hexdigest()
 
 
+def md5_file(path: Path) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def verify_source(spec: ModelSpec, path: Path, cache_pin: Path) -> str:
-    """Check a downloaded checkpoint against its pin; returns the digest.
-    Raises ValueError on mismatch."""
+    """Check a downloaded checkpoint against its pin; returns the sha256
+    digest. Raises ValueError on mismatch."""
     digest = sha256_file(path)
     if spec.sha256 and digest != spec.sha256:
         raise ValueError(f"{path.name}: sha256 {digest} != pinned {spec.sha256}")
@@ -102,6 +114,11 @@ def verify_source(spec: ModelSpec, path: Path, cache_pin: Path) -> str:
         raise ValueError(
             f"{path.name}: sha256 {digest} does not start with pinned "
             f"prefix {spec.sha256_prefix}")
+    if spec.md5_prefix and not md5_file(path).startswith(spec.md5_prefix):
+        raise ValueError(
+            f"{path.name}: md5 {md5_file(path)} does not start with pinned "
+            f"prefix {spec.md5_prefix} (SAM checkpoints embed the first 6 "
+            f"MD5 hex chars in the filename)")
     if cache_pin.exists():  # trust-on-first-use for unpinned sources
         prior = cache_pin.read_text().split()[0]
         if digest != prior:
@@ -182,7 +199,8 @@ def main(argv=None) -> int:
 
     if args.list or not args.model:
         for k, s in MANIFEST.items():
-            pin = s.sha256 or (s.sha256_prefix and f"{s.sha256_prefix}…") or "TOFU"
+            pin = (s.sha256 or (s.sha256_prefix and f"sha256:{s.sha256_prefix}…")
+                   or (s.md5_prefix and f"md5:{s.md5_prefix}…") or "TOFU")
             print(f"{k:12s} {s.bundle:22s} pin={pin:10s} {s.url}")
         return 0
 

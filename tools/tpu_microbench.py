@@ -150,8 +150,7 @@ def cmd_batch(dev):
 
 
 def cmd_attention(dev):
-    from dlimgedit_tpu.ops.flash_attention import (_gathered_tables,
-                                                   attention_reference,
+    from dlimgedit_tpu.ops.flash_attention import (attention_reference,
                                                    flash_attention_relpos)
 
     G, gh, gw, hd = 16, 64, 64, 80  # ViT-H global geometry
@@ -162,7 +161,6 @@ def cmd_attention(dev):
     q, k, v = mk(), mk(), mk()
     rh = jnp.asarray((rng.standard_normal((2 * gh - 1, hd)) * 0.1
                       ).astype(np.float32))
-    rh_e, rw_e = _gathered_tables(rh, rh, gh, gw, jnp.bfloat16)
     ms = slope_ms(lambda q, k, v, e: flash_attention_relpos(
         q * (1 + e).astype(q.dtype), k, v, rh.astype(jnp.bfloat16),
         rh.astype(jnp.bfloat16), grid_h=gh, grid_w=gw), (q, k, v))
