@@ -140,6 +140,13 @@ def _run():
     cache_dir = os.environ.get(
         "DLIMG_COMPILATION_CACHE",
         os.path.expanduser("~/.cache/dlimgedit_tpu/xla"))
+    if not accel:
+        # XLA:CPU AOT cache entries are host-feature specific; reloading
+        # entries compiled on a different machine works but floods stderr
+        # with "could lead to SIGILL" warnings. Scope the CPU cache per
+        # host fingerprint (TPU executables are host-independent).
+        from __graft_entry__ import _machine_fingerprint
+        cache_dir = os.path.join(cache_dir, "cpu-" + _machine_fingerprint())
     env = dl.Environment(dl.Options(
         backend=dl.Backend.gpu if accel else dl.Backend.cpu,
         allow_random_weights=True,
@@ -303,18 +310,30 @@ def _run():
     total_mask = put_tiny_ms + dev_mask_ms + d2h_mask_ms + unpack_ms
     print(json.dumps({
         "metric": f"SAM {args.variant} Segmentation::process ms/image "
-                  f"@{args.size}px ({platform})",
+                  f"@{args.size}px ({platform}, est. co-located e2e)",
         "value": round(total_process, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_process_ms / total_process, 3),
+        # The headline is a SYNTHESIZED co-located estimate (measured host
+        # pack + measured H2D + slope-measured device time; the mask adds an
+        # estimated D2H priced at measured H2D bandwidth), compared against
+        # the reference's measured 50 ms local-GPU e2e. The raw measured
+        # through-the-WAN-tunnel latencies are emitted alongside with equal
+        # prominence under tunnel_* keys.
+        "value_kind": "estimated_colocated_e2e_ms",
         "compute_mask_ms": round(total_mask, 3),
         "compute_mask_vs_baseline": round(12.0 / total_mask, 3),
         "device_process_ms": round(dev_process_ms, 3),
         "device_compute_mask_ms": round(dev_mask_ms, 3),
         "host_pack_ms": round(pack_ms, 3),
         "h2d_canvas_ms": round(h2d_ms, 3),
+        "mask_d2h_est_ms": round(d2h_mask_ms, 3),
         "mask_unpack_ms": round(unpack_ms, 3),
-        "tunnel_process_ms": round(tunnel_process_ms + dev_process_ms, 3),
+        # Raw measured dispatch latency of process through the tunnel
+        # (block_until_ready acks early for small programs, so this misses
+        # device time) and the device-time-adjusted composite, separately:
+        "tunnel_process_dispatch_ms": round(tunnel_process_ms, 3),
+        "tunnel_process_est_ms": round(tunnel_process_ms + dev_process_ms, 3),
         "tunnel_mask_ms": round(tunnel_mask_ms, 3),
         "tunnel_sync_floor_ms": round(sync_floor_ms, 3),
         "platform": platform,

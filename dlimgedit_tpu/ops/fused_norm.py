@@ -45,7 +45,9 @@ def fused_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     # padded rows normalise garbage that is sliced off afterwards.
     target = max(8, (2 * 1024 * 1024) // (C * 4))
     rows = 8
-    while rows * 2 <= target:
+    # Also clamp by n: without it a small input (n=16, C=64 -> target 8192)
+    # would be zero-padded to 8192 rows and run ~500x the needed work.
+    while rows * 2 <= target and rows < n:
         rows *= 2
     n_pad = ((n + rows - 1) // rows) * rows
     if n_pad != n:

@@ -18,17 +18,29 @@ from ..models import sam as sam_lib
 from .mesh import batch_sharding, make_mesh, sam_param_sharding
 
 
+# One jitted wrapper per (config, mesh, param structure). Rebuilding the
+# jax.jit wrapper on every call would miss jax's trace cache and retrace
+# (and, without the persistent compile cache, recompile) every invocation —
+# costly for the streaming/video workloads these APIs target. The sharding
+# trees depend only on the param tree *structure*, so the treedef keys them.
+_JIT_CACHE: dict = {}
+
+
 def encode_frames(params, cfg: sam_lib.SamConfig, frames: jnp.ndarray,
                   mesh=None):
     """frames: (B, S, S, 3) preprocessed pixels, B divisible by mesh dp.
     Returns (B, S/16, S/16, 256) embeddings, batch-sharded over dp."""
     mesh = mesh or make_mesh()
-    p_shard = sam_param_sharding(params, mesh)
-    fn = jax.jit(
-        lambda p, x: sam_lib.encode_image(p, cfg, x),
-        in_shardings=(p_shard, batch_sharding(mesh, 4)),
-        out_shardings=batch_sharding(mesh, 4),
-    )
+    key = ("encode", cfg, mesh, jax.tree_util.tree_structure(params))
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda p, x: sam_lib.encode_image(p, cfg, x),
+            in_shardings=(sam_param_sharding(params, mesh),
+                          batch_sharding(mesh, 4)),
+            out_shardings=batch_sharding(mesh, 4),
+        )
+        _JIT_CACHE[key] = fn
     return fn(params, frames)
 
 
@@ -61,11 +73,16 @@ def segment_frames(params, cfg, frames: jnp.ndarray, mesh=None):
     from ..models.birefnet import birefnet_apply
 
     mesh = mesh or make_mesh()
-    replicated = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-    p_shard = jax.tree_util.tree_map(lambda _: replicated, params)
-    fn = jax.jit(
-        lambda p, x: birefnet_apply(p, x, cfg),
-        in_shardings=(p_shard, batch_sharding(mesh, 4)),
-        out_shardings=batch_sharding(mesh, 4),
-    )
+    key = ("segment", cfg, mesh, jax.tree_util.tree_structure(params))
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        replicated = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())
+        p_shard = jax.tree_util.tree_map(lambda _: replicated, params)
+        fn = jax.jit(
+            lambda p, x: birefnet_apply(p, x, cfg),
+            in_shardings=(p_shard, batch_sharding(mesh, 4)),
+            out_shardings=batch_sharding(mesh, 4),
+        )
+        _JIT_CACHE[key] = fn
     return fn(params, frames)

@@ -43,9 +43,14 @@ def latest_step(directory) -> Optional[int]:
 
 
 def restore_train_state(directory, step: Optional[int] = None,
-                        like: Optional[Any] = None) -> Tuple[Any, Any, int]:
+                        like: Optional[Any] = None,
+                        tcfg=None) -> Tuple[Any, Any, int]:
     """Restore (params, opt_state, step). `like` (a matching pytree of
-    arrays) restores with correct dtypes/shardings when provided."""
+    arrays) restores with correct dtypes/shardings when provided; otherwise
+    the optimizer-state STRUCTURE is rebuilt from the restored params
+    (orbax returns plain dicts/lists for optax's NamedTuple states, which
+    `optax.update` cannot consume — caught by the resume path of
+    examples/finetune_decoder.py in test_examples.py)."""
     ocp = _ocp()
     if step is None:
         step = latest_step(directory)
@@ -62,7 +67,23 @@ def restore_train_state(directory, step: Optional[int] = None,
             restore_args = jax.tree_util.tree_map(
                 lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
             restored = ckptr.restore(path, restore_args=restore_args)
-    return restored["params"], restored["opt_state"], int(restored["step"])
+    params, opt_state = restored["params"], restored["opt_state"]
+    if like is None:
+        from .step import TrainConfig, init_train_state
+
+        template = jax.eval_shape(
+            lambda p: init_train_state(p, tcfg or TrainConfig()), params)
+        tdef = jax.tree_util.tree_structure(template)
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        # NamedTuple fields serialize under their field names and optax's
+        # states (ScaleByAdamState: count/mu/nu) have alphabetical ==
+        # declaration order, so the flattened leaf order is preserved.
+        assert len(leaves) == tdef.num_leaves, (
+            f"checkpoint opt_state has {len(leaves)} leaves, optimizer "
+            f"expects {tdef.num_leaves} — was it saved with a different "
+            f"optimizer? Pass `like=` to restore into a custom structure")
+        opt_state = jax.tree_util.tree_unflatten(tdef, leaves)
+    return params, opt_state, int(restored["step"])
 
 
 def export_serving_bundle(params, out_path) -> None:

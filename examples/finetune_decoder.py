@@ -38,9 +38,15 @@ def synthetic_batch(rng, B, img, L):
     }
 
 
-def main():
-    ckpt_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/dlimg_ckpts"
-    mesh = make_mesh(len(jax.devices()))
+def main(argv=None, bundle_out="models/segmentation/mobile_sam.npz",
+         n_steps=5, devices=None):
+    """`argv`/`bundle_out`/`n_steps`/`devices` are injectable so the test
+    suite can execute this example end-to-end into a tmp dir
+    (test_examples.py)."""
+    argv = sys.argv[1:] if argv is None else argv
+    ckpt_dir = argv[0] if argv else "/tmp/dlimg_ckpts"
+    devices = devices if devices is not None else jax.devices()
+    mesh = make_mesh(len(devices), devices=devices)
     cfg = sam_lib.make_config("mobile_sam", image_size=64)  # demo-sized
     tcfg = TrainConfig(learning_rate=3e-4)
 
@@ -59,14 +65,14 @@ def main():
         batch = synthetic_batch(rng, B, 64, cfg.mask_input_size)
         params, opt_state, batch = place_train_state(params, opt_state,
                                                      batch, mesh)
-        for step in range(step0, step0 + 5):
+        for step in range(step0, step0 + n_steps):
             params, opt_state, loss, aux = train_step(params, opt_state, batch)
             print(f"step {step}: loss {float(loss):.4f} "
                   f"dice {float(aux['dice']):.4f}")
 
     save_train_state(ckpt_dir, step + 1, jax.device_get(params),
                      jax.device_get(opt_state))
-    export_serving_bundle(params, "models/segmentation/mobile_sam.npz")
+    export_serving_bundle(params, bundle_out)
     print("checkpointed + exported serving bundle")
 
 

@@ -11,10 +11,17 @@ import numpy as np
 import dlimgedit_tpu as dl
 
 
-def main():
-    src, dst = sys.argv[1], sys.argv[2]
-    backend = dl.Backend.tpu if dl.is_supported(dl.Backend.tpu) else dl.Backend.cpu
-    env = dl.Environment(dl.Options(backend=backend, model_directory="models"))
+def main(argv=None, options=None):
+    """`argv`/`options` are injectable so the test suite can execute this
+    example end-to-end with a tiny random-weight config (test_examples.py);
+    run as a script it uses real models from ./models."""
+    argv = sys.argv[1:] if argv is None else argv
+    src, dst = argv[0], argv[1]
+    if options is None:
+        backend = (dl.Backend.tpu if dl.is_supported(dl.Backend.tpu)
+                   else dl.Backend.cpu)
+        options = dl.Options(backend=backend, model_directory="models")
+    env = dl.Environment(options)
 
     img = dl.Image.load(src)
     mask = dl.segment_objects(img, env)  # >1536px inputs auto-select high-res

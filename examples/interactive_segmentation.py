@@ -14,12 +14,19 @@ import sys
 import dlimgedit_tpu as dl
 
 
-def main():
-    path, x, y = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
-    out = sys.argv[4] if len(sys.argv) > 4 else "mask.png"
+def main(argv=None, options=None):
+    """`argv`/`options` are injectable so the test suite can execute this
+    example end-to-end with a tiny random-weight config (test_examples.py);
+    run as a script it uses real models from ./models."""
+    argv = sys.argv[1:] if argv is None else argv
+    path, x, y = argv[0], int(argv[1]), int(argv[2])
+    out = argv[3] if len(argv) > 3 else "mask.png"
 
-    backend = dl.Backend.tpu if dl.is_supported(dl.Backend.tpu) else dl.Backend.cpu
-    env = dl.Environment(dl.Options(backend=backend, model_directory="models"))
+    if options is None:
+        backend = (dl.Backend.tpu if dl.is_supported(dl.Backend.tpu)
+                   else dl.Backend.cpu)
+        options = dl.Options(backend=backend, model_directory="models")
+    env = dl.Environment(options)
 
     img = dl.Image.load(path)
     seg = dl.Segmentation.process(img, env)   # expensive once; cached on device

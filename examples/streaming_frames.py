@@ -18,24 +18,28 @@ from dlimgedit_tpu.parallel.batch import decode_prompt_batch, encode_frames
 from dlimgedit_tpu.parallel.mesh import make_mesh
 
 
-def main():
-    n = len(jax.devices())
-    mesh = make_mesh(n)
+def main(image_size=256, devices=None):
+    """`image_size`/`devices` are injectable so the test suite can execute
+    this example end-to-end at a tiny size (test_examples.py)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    mesh = make_mesh(n, devices=devices)
     print(f"mesh: {dict(mesh.shape)} over {n} devices")
 
-    cfg = sam_lib.make_config("mobile_sam", image_size=256)
+    cfg = sam_lib.make_config("mobile_sam", image_size=image_size)
     params = sam_lib.init_sam(jax.random.PRNGKey(0), cfg)
 
     # A "video": B frames, preprocessed (see ops/preprocess for real inputs).
     B = mesh.shape["dp"] * 2
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.standard_normal((B, 256, 256, 3)), jnp.float32)
+    frames = jnp.asarray(
+        rng.standard_normal((B, image_size, image_size, 3)), jnp.float32)
 
     embeddings = encode_frames(params, cfg, frames, mesh=mesh)
     print("embeddings:", embeddings.shape, "sharding:", embeddings.sharding)
 
     # Interactive edits on frame 0: many prompts, one program.
-    coords = jnp.asarray(rng.uniform(0, 256, (6, 2, 2)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(0, image_size, (6, 2, 2)), jnp.float32)
     labels = jnp.tile(jnp.asarray([[1.0, -1.0]], jnp.float32), (6, 1))
     masks, iou = decode_prompt_batch(params, cfg, embeddings[:1], coords,
                                      labels)

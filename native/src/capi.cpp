@@ -23,6 +23,8 @@
 #include <mutex>
 #include <string>
 
+#include "codecs.hpp"
+
 namespace {
 
 thread_local std::string g_last_error;
@@ -230,6 +232,26 @@ dlimg_Result api_segment_objects(dlimg_ImageView const* img, uint8_t* out_mask,
 
 dlimg_Result api_load_image(char const* filepath, int* out_extent,
                             int* out_channels, uint8_t** out_pixels) {
+    // Native codec path first (libpng/libjpeg + built-in BMP/TGA): no
+    // Python involved, mirroring the reference's stb layer
+    // (/root/reference/src/image.cpp:11-23). The bridge remains a fallback
+    // for containers the native layer does not handle.
+    {
+        std::string err;
+        int w = 0, h = 0, c = 0;
+        uint8_t* px = dlimg_native::load_image(filepath, &w, &h, &c, &err);
+        if (px) {
+            out_extent[0] = w;
+            out_extent[1] = h;
+            *out_channels = c;
+            *out_pixels = px;
+            return dlimg_success;
+        }
+        if (!err.empty()) {  // recognised format but corrupt/unreadable
+            set_error("load_image: " + err);
+            return dlimg_error;
+        }
+    }
     if (!PyRuntime::get().ensure()) return dlimg_error;
     Gil gil;
     PyObject* r = bridge_call("load_image", Py_BuildValue("(s)", filepath));
@@ -263,6 +285,21 @@ dlimg_Result api_load_image(char const* filepath, int* out_extent,
 }
 
 dlimg_Result api_save_image(dlimg_ImageView const* img, char const* filepath) {
+    // Native PNG encoder (libpng) for the reference-supported channel
+    // orders mask/rgb/rgba (image.cpp:25-35); bgra/argb and libpng-less
+    // builds fall through to the bridge (which also rejects bgra/argb,
+    // with a descriptive error).
+    if (img->channels == 1 || img->channels == 3 || img->channels == 4) {
+        std::string err;
+        if (dlimg_native::save_png(filepath, img->pixels, img->width,
+                                   img->height, img->channels, img->stride,
+                                   &err))
+            return dlimg_success;
+        if (!err.empty()) {
+            set_error("save_image: " + err);
+            return dlimg_error;
+        }
+    }
     if (!PyRuntime::get().ensure()) return dlimg_error;
     Gil gil;
     PyObject* r = bridge_call(

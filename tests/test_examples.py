@@ -1,19 +1,35 @@
-"""Examples stay importable: every name an example pulls from the package
-must exist (catches API drift without executing the heavy scripts)."""
+"""Examples are EXECUTED (not just import-checked): each example's `main`
+accepts injectable args so it runs end-to-end on CPU with a tiny
+random-weight config. Catches behavioral drift, not only API drift
+(VERDICT r2 #8; mirrors the reference's runnable-README discipline)."""
 
 import ast
+import importlib
+import importlib.util
 from pathlib import Path
 
+import numpy as np
 import pytest
 
-EXAMPLES = sorted((Path(__file__).resolve().parents[1] / "examples").glob("*.py"))
+import jax
+
+import dlimgedit_tpu as dl
+
+EXAMPLES_DIR = Path(__file__).resolve().parents[1] / "examples"
+EXAMPLES = sorted(EXAMPLES_DIR.glob("*.py"))
+
+
+def _load_example(name):
+    spec = importlib.util.spec_from_file_location(
+        f"examples_{name}", EXAMPLES_DIR / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 @pytest.mark.parametrize("path", EXAMPLES, ids=lambda p: p.name)
 def test_example_imports_resolve(path):
     tree = ast.parse(path.read_text())
-    import importlib
-
     for node in ast.walk(tree):
         if isinstance(node, ast.ImportFrom) and node.module and (
                 node.module.startswith("dlimgedit_tpu")):
@@ -25,3 +41,67 @@ def test_example_imports_resolve(path):
             for alias in node.names:
                 if alias.name.startswith("dlimgedit_tpu"):
                     importlib.import_module(alias.name)
+
+
+def _tiny_options(**kw):
+    return dl.Options(backend=dl.Backend.cpu, allow_random_weights=True,
+                      compute_dtype="float32", sam_image_size=64, **kw)
+
+
+def _tiny_png(tmp_path, name="in.png", size=48):
+    rng = np.random.default_rng(7)
+    img = dl.Image(dl.Extent(size, size), dl.Channels.rgba,
+                   rng.integers(0, 256, (size, size, 4), dtype=np.uint8))
+    p = tmp_path / name
+    dl.Image.save(img, p)
+    return p
+
+
+def test_interactive_segmentation_runs(tmp_path, capsys):
+    mod = _load_example("interactive_segmentation")
+    src = _tiny_png(tmp_path)
+    out = tmp_path / "mask.png"
+    mod.main(argv=[str(src), "24", "24", str(out)], options=_tiny_options())
+    assert out.exists()
+    mask = dl.Image.load(out)
+    assert (mask.extent.width, mask.extent.height) == (48, 48)
+    text = capsys.readouterr().out
+    assert "candidate 2" in text and "batched 3 prompts" in text
+
+
+def test_foreground_extraction_runs(tmp_path):
+    mod = _load_example("foreground_extraction")
+    src = _tiny_png(tmp_path)
+    dst = tmp_path / "cutout.png"
+    mod.main(argv=[str(src), str(dst)], options=_tiny_options())
+    cut = dl.Image.load(dst)
+    assert cut.channels == dl.Channels.rgba
+    assert (cut.extent.width, cut.extent.height) == (48, 48)
+
+
+def test_streaming_frames_runs(capsys):
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mod = _load_example("streaming_frames")
+    mod.main(image_size=64, devices=devs[:8])
+    text = capsys.readouterr().out
+    assert "embeddings: (8, 4, 4, 256)" in text
+    assert "masks: (6," in text
+
+
+def test_finetune_decoder_runs(tmp_path, capsys):
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mod = _load_example("finetune_decoder")
+    bundle = tmp_path / "bundle.npz"
+    mod.main(argv=[str(tmp_path / "ckpts")], bundle_out=str(bundle),
+             n_steps=2, devices=devs[:8])
+    assert bundle.exists()
+    text = capsys.readouterr().out
+    assert "step 1: loss" in text and "exported serving bundle" in text
+    # Resume path: a second run restores from the checkpoint just written.
+    mod.main(argv=[str(tmp_path / "ckpts")], bundle_out=str(bundle),
+             n_steps=1, devices=devs[:8])
+    assert "resumed from step 2" in capsys.readouterr().out

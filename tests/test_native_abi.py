@@ -173,6 +173,54 @@ def test_image_codecs_roundtrip(api, tmp_path):
     assert rc == 1
 
 
+def _native_load(api, path: bytes):
+    extent = (ctypes.c_int * 2)()
+    channels = ctypes.c_int()
+    pixels = ctypes.POINTER(ctypes.c_uint8)()
+    rc = api.load_image(path, extent, ctypes.byref(channels),
+                        ctypes.byref(pixels))
+    assert rc == 0, api.last_error().decode()
+    arr = np.ctypeslib.as_array(
+        pixels, shape=(extent[1], extent[0], channels.value)).copy()
+    api.destroy_image(pixels)
+    return arr
+
+
+def test_native_jpeg_decode_matches_pillow(api):
+    """Native libjpeg decode vs the Python tier's Pillow decode on the real
+    truck.jpg: both are libjpeg-turbo, so within 1 LSB everywhere."""
+    import os
+
+    truck = "/root/reference/test/input/truck.jpg"
+    if not os.path.exists(truck):
+        pytest.skip("reference asset not present")
+    from dlimgedit_tpu.image.io import load_image
+
+    ref = load_image(truck).pixels
+    mine = _native_load(api, truck.encode())
+    assert mine.shape == ref.shape
+    assert np.abs(mine.astype(np.int16) - ref.astype(np.int16)).max() <= 1
+
+
+@pytest.mark.parametrize("fmt,channels", [("BMP", 3), ("TGA", 3),
+                                          ("TGA", 4), ("BMP", 1),
+                                          ("TGA", 1)])
+def test_native_bmp_tga_decode(api, tmp_path, fmt, channels):
+    """Built-in BMP/TGA readers vs Pillow's encoders (exact: both formats
+    are lossless containers)."""
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(channels)
+    arr = np.ascontiguousarray(
+        rng.integers(0, 256, (9, 11, channels), dtype=np.uint8))
+    mode = {1: "L", 3: "RGB", 4: "RGBA"}[channels]
+    path = tmp_path / f"img.{fmt.lower()}"
+    PILImage.fromarray(arr if channels > 1 else arr[:, :, 0],
+                       mode=mode).save(path, format=fmt)
+    mine = _native_load(api, str(path).encode())
+    np.testing.assert_array_equal(mine, arr)
+
+
 def test_create_destroy_image(api):
     p = api.create_image(8, 6, 4)
     assert p

@@ -26,3 +26,18 @@ def test_cpp_api_end_to_end():
                        timeout=540)
     assert r.returncode == 0, r.stderr[-1000:]
     assert "CPP_API_OK" in r.stdout
+
+
+def test_cpp_codecs_python_free():
+    """The native codec path (libpng/libjpeg/BMP/TGA) must round-trip
+    through the C ABI without EVER initialising the Python interpreter —
+    the deployment property the reference's stb layer has
+    (/root/reference/src/image.cpp:11-35)."""
+    from _native_build import ensure_native_build
+
+    bin_ = REPO / "native" / "build" / "test_codecs"
+    ensure_native_build(bin_)
+    r = subprocess.run([str(bin_)], capture_output=True, text=True,
+                       timeout=120)
+    assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+    assert "libpython never initialised" in r.stdout

@@ -181,6 +181,32 @@ def test_largest_component_empty():
     assert not out.any()
 
 
+def test_largest_component_adversarial_serpentine():
+    """Worst-case single-pixel-wide boustrophedon path across a 256x256
+    grid: plain label propagation needs ~H*W/2 sweeps; pointer jumping
+    (VERDICT r2 #9) must converge in O(log HW) < 32 iterations."""
+    from dlimgedit_tpu.ops.connected import _label_components
+
+    H = W = 256
+    mask = np.zeros((H, W), bool)
+    for r in range(0, H - 2, 2):  # rows 0..253 even: full; odd: one joint
+        mask[r, :] = True
+        mask[r + 1, W - 1 if (r // 2) % 2 == 0 else 0] = True
+    mask[H - 1, 0:3] = True       # separate small blob (3 px, row 254 empty)
+
+    labels, iters = jax.jit(_label_components)(jnp.asarray(mask))
+    assert int(iters) < 32, f"converged in {int(iters)} iters"
+
+    out = np.asarray(jax.jit(largest_component_mask)(jnp.asarray(mask)))
+    expected = mask.copy()
+    expected[H - 1, 0:3] = False  # blob dropped, serpentine kept
+    np.testing.assert_array_equal(out, expected)
+
+    # every serpentine pixel ended with the same (max) label
+    lbl = np.asarray(labels)
+    assert len(np.unique(lbl[expected])) == 1
+
+
 def test_resample_2d_batched():
     rng = np.random.default_rng(5)
     imgs = rng.random((2, 16, 16, 3)).astype(np.float32)

@@ -30,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_compilation_cache_dir",
-                  "/root/.cache/dlimgedit_tpu/xla")
+                  os.environ.get("DLIMG_COMPILATION_CACHE",
+                                 os.path.expanduser("~/.cache/dlimgedit_tpu/xla")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import jax.numpy as jnp  # noqa: E402
