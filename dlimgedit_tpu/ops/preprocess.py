@@ -15,11 +15,14 @@ up to the bucket.
 
 from __future__ import annotations
 
+import threading
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..types import Extent, ImageView, RGB_CHANNEL_MAP
+from ..utils import hostops
 from .resample import resample_matrix
 from ..models.common import HIGHEST
 from ..models.sam import SAM_PIXEL_MEAN, SAM_PIXEL_STD
@@ -37,20 +40,59 @@ def pick_bucket(extent: Extent, buckets=CANVAS_BUCKETS) -> int:
     return ((m + 1023) // 1024) * 1024  # oversized: round up to 1 KiB grid
 
 
-def pack_rgb_canvas(view: ImageView, bucket: int) -> np.ndarray:
+# Rotating per-thread staging canvases (depth 2 per bucket).  The consumers
+# of a packed canvas (sam_preprocess, the BiRefNet runner) read it through
+# resample matrices that zero every weight outside the valid [:h, :w] region
+# (resample.py `valid` mask), so a reused canvas needs NO zeroing and stale
+# bytes from a previous image are mathematically inert.  Reuse is only safe
+# when `jax.device_put` copies the host buffer during the call — true for
+# every remote/PJRT accelerator path (the bytes must be serialized into the
+# transfer) but NOT for XLA:CPU, which may alias aligned numpy arrays
+# zero-copy; callers gate pooling on platform != "cpu".
+_POOL_DEPTH = 2
+_canvas_pool = threading.local()
+
+
+def staging_canvas(bucket: int) -> np.ndarray:
+    """An uninitialised (bucket, bucket, 3) uint8 canvas from the per-thread
+    rotation pool. Pack with ``pack_rgb_canvas(view, bucket, out=...)``."""
+    bufs = getattr(_canvas_pool, "bufs", None)
+    if bufs is None:
+        bufs = _canvas_pool.bufs = {}
+    ring = bufs.setdefault(bucket, [])
+    if len(ring) < _POOL_DEPTH:
+        buf = np.empty((bucket, bucket, 3), dtype=np.uint8)
+        ring.append(buf)
+        return buf
+    buf = ring.pop(0)
+    ring.append(buf)
+    return buf
+
+
+def pack_rgb_canvas(view: ImageView, bucket: int,
+                    out: np.ndarray | None = None) -> np.ndarray:
     """Host-side: place RGB-mapped uint8 pixels top-left in a (bucket, bucket, 3)
     canvas. Channel mapping follows create_image_tensor
     (/root/reference/src/segmentation.cpp:81-97): mask->(0,0,0),
-    bgra->(2,1,0), argb->(1,2,3), rgb/rgba->(0,1,2)."""
+    bgra->(2,1,0), argb->(1,2,3), rgb/rgba->(0,1,2).
+
+    With ``out=None`` a zeroed canvas is allocated (stale-byte-free, the
+    conservative default). Passing ``out`` (e.g. from ``staging_canvas``)
+    packs into it WITHOUT zeroing — valid because every consumer masks the
+    region outside [:h, :w] (see ``staging_canvas``). The inner byte shuffle
+    uses the native host-ops loop when available (~5x over numpy's strided
+    slice copies at 1024^2; utils/hostops.py)."""
     arr = view.pixels
     if arr.ndim == 2:
         arr = arr[:, :, None]
     cmap = RGB_CHANNEL_MAP[view.channels]
     h, w = arr.shape[:2]
-    canvas = np.zeros((bucket, bucket, 3), dtype=np.uint8)
-    canvas[:h, :w, 0] = arr[:, :, cmap[0]]
-    canvas[:h, :w, 1] = arr[:, :, cmap[1]]
-    canvas[:h, :w, 2] = arr[:, :, cmap[2]]
+    canvas = np.zeros((bucket, bucket, 3), dtype=np.uint8) if out is None \
+        else out
+    if not hostops.pack_rgb(arr, cmap, canvas, h, w):
+        canvas[:h, :w, 0] = arr[:, :, cmap[0]]
+        canvas[:h, :w, 1] = arr[:, :, cmap[1]]
+        canvas[:h, :w, 2] = arr[:, :, cmap[2]]
     return canvas
 
 

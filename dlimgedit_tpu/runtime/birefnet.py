@@ -16,7 +16,7 @@ from ..errors import ModelNotFoundError
 from ..image.resize import resize_mask
 from ..models.common import cast_tree
 from ..ops.postprocess import sigmoid_to_u8
-from ..ops.preprocess import pack_rgb_canvas, pick_bucket
+from ..ops.preprocess import pack_rgb_canvas, pick_bucket, staging_canvas
 from ..ops.resample import resample_matrix
 from ..models.common import HIGHEST
 from ..types import Channels, Image, ImageView
@@ -108,7 +108,12 @@ def birefnet_segment(env, view: ImageView) -> Image:
             else "general")
     bundle = env.birefnet_model(kind)
     bucket = pick_bucket(extent)
-    canvas = pack_rgb_canvas(view, bucket)
+    # Pooled staging canvas off-CPU (no 3 MB zeroing; the resample matrices
+    # in _build_birefnet_fn mask everything outside [:h, :w]).
+    canvas = pack_rgb_canvas(
+        view, bucket,
+        out=(staging_canvas(bucket)
+             if env.device.platform != "cpu" else None))
     sizes = np.array([extent.height, extent.width], np.int32)
     run = env.executable(("birefnet", kind, bucket),
                          lambda: _build_birefnet_fn(bundle, bucket))

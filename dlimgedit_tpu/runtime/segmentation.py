@@ -34,7 +34,12 @@ from ..ops.postprocess import (
     unpack_mask_bits,
     upsample_mask_logits,
 )
-from ..ops.preprocess import pack_rgb_canvas, pick_bucket, sam_preprocess
+from ..ops.preprocess import (
+    pack_rgb_canvas,
+    pick_bucket,
+    sam_preprocess,
+    staging_canvas,
+)
 from ..types import Channels, Extent, Image, ImageView, Point, Region
 from .environment import Environment
 
@@ -132,6 +137,9 @@ class Segmentation:
         cfg = bundle.cfg
         extent = view.extent
         target, scale = resize_longest_side_extent(extent, cfg.image_size)
+        # Pooled staging canvases skip the 3 MB zeroing per call; safe off
+        # CPU only (see ops/preprocess.staging_canvas for the aliasing rule).
+        pooled = env.device.platform != "cpu"
         if env.options.preprocess_mode == "host":
             # Reference-exact numerics: stb-semantics resize on the host
             # (image.cpp:37-51 via segmentation.cpp:60-70); the device
@@ -144,12 +152,14 @@ class Segmentation:
             bucket = pick_bucket(extent)  # bucket by ORIGINAL size: masks
             # at this bucket must cover the original resolution.
             bucket = max(bucket, pick_bucket(extent_in))
-            canvas = pack_rgb_canvas(view, bucket)
+            canvas = pack_rgb_canvas(
+                view, bucket, out=staging_canvas(bucket) if pooled else None)
             sizes = np.array([extent_in.height, extent_in.width,
                               target.height, target.width], np.int32)
         else:
             bucket = pick_bucket(extent)
-            canvas = pack_rgb_canvas(view, bucket)
+            canvas = pack_rgb_canvas(
+                view, bucket, out=staging_canvas(bucket) if pooled else None)
             sizes = np.array([extent.height, extent.width,
                               target.height, target.width], np.int32)
         embed = env.executable(("embed", variant, bucket),

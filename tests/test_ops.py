@@ -141,6 +141,61 @@ def test_pack_rgb_canvas_channel_maps():
         assert tuple(float(v) for v in got) == expected, channels
 
 
+def test_hostops_pack_matches_numpy():
+    """Native channel-map pack == the numpy reference path, all channel
+    orders, strided (ABI-style) source rows, odd sizes, pooled canvas."""
+    import pytest
+
+    from dlimgedit_tpu.types import channel_count
+    from dlimgedit_tpu.utils import hostops
+
+    if hostops.load() is None:
+        pytest.skip("native hostops unavailable (no toolchain)")
+    rng = np.random.default_rng(11)
+    for channels in (Channels.rgb, Channels.rgba, Channels.bgra,
+                     Channels.argb, Channels.mask):
+        c = channel_count(channels)
+        h, w, bucket = 37, 53, 64
+        # Row padding like dlimg_ImageView strides (native_bridge._wrap_pixels)
+        base = rng.integers(0, 256, (h, w * c + 13), dtype=np.uint8)
+        arr = base[:, :w * c].reshape(h, w, c)
+        if channels is Channels.mask:
+            arr = arr[:, :, 0]
+        view = ImageView(arr, Extent(w, h), channels)
+        got = pack_rgb_canvas(view, bucket,
+                              out=np.empty((bucket, bucket, 3), np.uint8))
+        want = pack_rgb_canvas(view, bucket)  # numpy path, zeroed canvas
+        np.testing.assert_array_equal(got[:h, :w], want[:h, :w])
+
+
+def test_staging_canvas_stale_bytes_are_masked():
+    """A reused staging canvas carries stale bytes outside [:h, :w]; the
+    device consumers must produce identical results to a zeroed canvas
+    (the resample matrices mask the invalid region)."""
+    from dlimgedit_tpu.ops.preprocess import staging_canvas
+
+    rng = np.random.default_rng(7)
+    h, w, S, model = 24, 17, 32, 16
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    view = ImageView(img, Extent(w, h), Channels.rgb)
+
+    canvas = staging_canvas(S)
+    canvas[...] = 255  # poison: stale bytes everywhere
+    pack_rgb_canvas(view, S, out=canvas)
+    zeroed = pack_rgb_canvas(view, S)
+    th, tw = model, int(w * model / max(h, w) + 0.5)
+    out_stale = np.asarray(sam_preprocess(jnp.asarray(canvas), h, w, th, tw,
+                                          image_size=model))
+    out_clean = np.asarray(sam_preprocess(jnp.asarray(zeroed), h, w, th, tw,
+                                          image_size=model))
+    np.testing.assert_array_equal(out_stale, out_clean)
+    # Rotation: two successive canvases differ, the third cycles back.
+    a = staging_canvas(S)
+    b = staging_canvas(S)
+    assert a is not b
+    assert staging_canvas(S) is a
+
+
 def test_sam_preprocess_matches_torch_pipeline():
     """Fused preprocess == resize(antialias) -> normalize -> pad."""
     rng = np.random.default_rng(4)
