@@ -58,6 +58,10 @@ class BiRefNetConfig:
     aspp_channelster: int = 256       # ASPPDeformable branch width
     aspp_kernel_sizes: Tuple[int, ...] = (1, 3, 7)
     gdt_channels: int = 16
+    # Opt-in int8 corner-stack for the deformable-sampling gathers (half the
+    # gather bytes at the measured bandwidth floor; bounded approximation —
+    # ops/deform._corner_stack). Wired from Options.birefnet_int8_deform.
+    deform_int8_gather: bool = False
     # Tests may substitute a narrow Swin; None -> SWIN_PRESETS[backbone].
     swin_cfg: Optional[SwinConfig] = None
 
@@ -222,7 +226,8 @@ def _conv(p: Params, x: jnp.ndarray, padding: int = 0) -> jnp.ndarray:
     return y
 
 
-def _apply_deform(p: Params, x: jnp.ndarray, ks: int) -> jnp.ndarray:
+def _apply_deform(p: Params, x: jnp.ndarray, ks: int,
+                  int8_gather: bool = False) -> jnp.ndarray:
     """_ASPPModuleDeformable: modulated deformable conv (+folded BN) + relu."""
     from ..ops.deform import deform_conv2d
 
@@ -231,7 +236,8 @@ def _apply_deform(p: Params, x: jnp.ndarray, ks: int) -> jnp.ndarray:
     modulator = 2.0 * jax.nn.sigmoid(
         _conv(p["modulator"], x, padding=pad).astype(jnp.float32))
     y = deform_conv2d(x, offset, modulator, p["conv"]["w"],
-                      p["conv"].get("b"), padding=pad)
+                      p["conv"].get("b"), padding=pad,
+                      int8_gather=int8_gather)
     return relu(y)
 
 
@@ -239,9 +245,10 @@ def _apply_aspp(p: Params, x: jnp.ndarray, cfg: BiRefNetConfig
                 ) -> jnp.ndarray:
     """ASPPDeformable (upstream models/modules/aspp.py): 1x1 deform + K
     deform branches + global-average branch -> concat -> 1x1 (+BN) -> relu."""
-    branches: List[jnp.ndarray] = [_apply_deform(p["aspp1"], x, 1)]
+    branches: List[jnp.ndarray] = [
+        _apply_deform(p["aspp1"], x, 1, cfg.deform_int8_gather)]
     for bp, s in zip(p["deforms"], cfg.aspp_kernel_sizes):
-        branches.append(_apply_deform(bp, x, s))
+        branches.append(_apply_deform(bp, x, s, cfg.deform_int8_gather))
     gap = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
     gap = relu(_conv(p["gap"], gap.astype(x.dtype)))
     # align_corners=True resize of a 1x1 map == broadcast.

@@ -56,6 +56,10 @@ class SamViTConfig:
     use_flash_attention: bool = False
     # Run the Pallas kernel in interpreter mode (CPU testing only).
     flash_interpret: bool = False
+    # Pallas fused LayerNorm (ops/fused_norm.py) vs stock XLA layer_norm.
+    # None (default) follows use_flash_attention; a bool overrides (used by
+    # the MFU ledger to A/B the in-context cost of the two lowerings).
+    fused_layer_norm: bool | None = None
     # Round-2 experiment: slice windows via BlockSpec inside the kernel
     # (skips the physical 6D partition transposes, ~20 ms/ViT-H in profiles).
     fused_window_blocks: bool = False
@@ -178,7 +182,7 @@ def _vit_attention(params: Params, x: jnp.ndarray, num_heads: int,
             k.reshape(Bn * num_heads, h * w, hd),
             v.reshape(Bn * num_heads, h * w, hd),
             rh.astype(q.dtype), rw.astype(q.dtype), grid_h=h, grid_w=w,
-            interpret=flash_interpret)
+            heads=num_heads, interpret=flash_interpret)
         out = out.reshape(Bn, num_heads, h * w, hd)
     else:
         attn = jnp.einsum("bnqd,bnkd->bnqk", q, k,
@@ -197,7 +201,9 @@ def _vit_attention(params: Params, x: jnp.ndarray, num_heads: int,
 
 def _layer_norm(params: Params, x: jnp.ndarray, cfg: SamViTConfig
                 ) -> jnp.ndarray:
-    if cfg.use_flash_attention:  # TPU fused-kernel mode
+    use_fused = (cfg.use_flash_attention if cfg.fused_layer_norm is None
+                 else cfg.fused_layer_norm)
+    if use_fused:  # TPU fused-kernel mode
         from ..ops.fused_norm import fused_layer_norm
 
         return fused_layer_norm(x, params["scale"], params["bias"],

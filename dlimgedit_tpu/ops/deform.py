@@ -49,14 +49,21 @@ def _bilinear_sample(x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
             + tap(y0 + 1, x0 + 1) * wy * wx)
 
 
-def _corner_stack(x: jnp.ndarray):
+def _corner_stack(x: jnp.ndarray, int8: bool = False):
     """Precompute the 4-corner map for stacked bilinear sampling.
 
     Pads x by (1 top/left, 2 bottom/right) with zeros and concatenates the
     four 2x2-corner shifts on the channel axis, so ONE row-gather at
     flattened index (y0+1, x0+1) fetches all four bilinear corners, with
     out-of-image corners reading genuine zeros (the torchvision boundary
-    rule) for any y0 in [-1, H], x0 in [-1, W]."""
+    rule) for any y0 in [-1, H], x0 in [-1, W].
+
+    ``int8=True`` additionally quantises the stack symmetrically (scale =
+    max|x| / 127, computed on device) — the K-tap gather loop is at the
+    measured TPU gather-bandwidth floor (~50-100 GB/s; BENCH_NOTES), so
+    halving the bytes per fetched row nearly halves deform-conv time at the
+    cost of a bounded sampling approximation (opt-in via
+    Options.birefnet_int8_deform)."""
     B, H, W, C = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
     Hp, Wp = H + 3, W + 3
@@ -66,13 +73,20 @@ def _corner_stack(x: jnp.ndarray):
         xp[:, 1:, :-1, :],    # corner (y0+1, x0  )
         xp[:, 1:, 1:, :],     # corner (y0+1, x0+1)
     ], axis=-1)               # (B, Hp-1, Wp-1, 4C)
-    return stack.reshape(B, (Hp - 1) * (Wp - 1), 4 * C), (H, W, Wp - 1)
+    stack = stack.reshape(B, (Hp - 1) * (Wp - 1), 4 * C)
+    scale = None
+    if int8:
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        scale = jnp.maximum(absmax, 1e-12) / 127.0
+        stack = jnp.clip(jnp.round(stack.astype(jnp.float32) / scale),
+                         -127, 127).astype(jnp.int8)
+    return stack, (H, W, Wp - 1), scale
 
 
 def _bilinear_sample_stacked(stack_info, py: jnp.ndarray, px: jnp.ndarray,
                              C: int, dtype) -> jnp.ndarray:
     """Bilinear sample using a `_corner_stack` map: one gather per tap."""
-    stack, (H, W, Ws) = stack_info
+    stack, (H, W, Ws), scale = stack_info
     B = stack.shape[0]
     oh, ow = py.shape[-2:]
     y0 = jnp.floor(py)
@@ -86,6 +100,8 @@ def _bilinear_sample_stacked(stack_info, py: jnp.ndarray, px: jnp.ndarray,
     xc = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
     idx = (yc * Ws + xc).reshape(B, oh * ow, 1)
     v4 = jnp.take_along_axis(stack, idx, axis=1).reshape(B, oh, ow, 4, C)
+    if scale is not None:  # int8 stack: dequantise after the gather
+        v4 = v4.astype(jnp.float32) * scale
     w00 = (1 - wy) * (1 - wx)
     w01 = (1 - wy) * wx
     w10 = wy * (1 - wx)
@@ -97,7 +113,7 @@ def _bilinear_sample_stacked(stack_info, py: jnp.ndarray, px: jnp.ndarray,
 
 def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   w: jnp.ndarray, bias: jnp.ndarray | None = None,
-                  padding: int = 0) -> jnp.ndarray:
+                  padding: int = 0, int8_gather: bool = False) -> jnp.ndarray:
     """Modulated deformable conv, stride 1 / dilation 1 / 1 offset group.
 
     x:      (B, H, W, C)
@@ -106,12 +122,15 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     mask:   (B, H, W, K) modulation (already through 2*sigmoid in the caller)
     w:      (kh, kw, C, Cout) HWIO
     bias:   (Cout,) or None
+    int8_gather: gather from an int8-quantised corner stack (half the bytes
+            through the gather-bandwidth floor; bounded approximation —
+            see _corner_stack)
     """
     B, H, W, C = x.shape
     kh, kw, _, cout = w.shape
     ys = jnp.arange(H, dtype=offset.dtype)[:, None]
     xs = jnp.arange(W, dtype=offset.dtype)[None, :]
-    stack_info = _corner_stack(x)  # shared by every kernel tap
+    stack_info = _corner_stack(x, int8=int8_gather)  # shared by every tap
     out = jnp.zeros((B, H, W, cout), jnp.float32)
     for ky in range(kh):
         for kx in range(kw):

@@ -29,22 +29,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *, grid_h: int,
+def _kernel(q_ref, k_ref, v_ref, bhw_ref, o_ref, *, grid_h: int,
             grid_w: int, scale: float):
     """Block shapes (leading singleton = the blocked group dim):
-      q_ref:  (1, BQ, hd)      — query block
-      k_ref:  (1, N, hd)       — all keys of this attention group
-      v_ref:  (1, N, hd)
-      bh_ref: (1, BQ, gh)      — precomputed q.rh bias half for this block
-      bw_ref: (1, BQ, gw)      — precomputed q.rw bias half
-      o_ref:  (1, BQ, hd)
+      q_ref:   (1, BQ, hd)       — query block
+      k_ref:   (1, N, hd)        — all keys of this attention group
+      v_ref:   (1, N, hd)
+      bhw_ref: (1, BQ, gh + gw)  — precomputed [q.rh | q.rw] bias halves
+      o_ref:   (1, BQ, hd)
 
     The bias halves are batched matmuls the CALLER runs on the MXU once per
     layer (bh[g,i,y] = q[g,i,:].rh_e[i,y,:]): computing them in-kernel as
     per-row skinny VPU contractions measured ~1.4 us x 1024 programs on the
     ViT-H global layers — about a third of the whole kernel's runtime.
-    In-kernel they only need the one-hot expansion to (BQ, N) (MXU, exact
-    0/1 selectors, cheaper than one attention matmul)."""
+    In-kernel they only need the one-hot expansion to (BQ, N): a SINGLE
+    combined selector matmul [bh | bw] @ [sel_h ; sel_w] — one MXU pass per
+    output tile where round 2's two separate expansions paid two (measured
+    ~20% of ViT-H kernel time back; for the 64x64 global grid the combined
+    contraction is exactly gh+gw = 128 lanes)."""
     N = k_ref.shape[1]
     qn = q_ref[0]                                          # (BQ, hd) native
     k = k_ref[0]                                           # (N, hd)
@@ -59,18 +61,16 @@ def _kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *, grid_h: int,
                             preferred_element_type=jnp.float32,
                             precision=prec) * scale
 
-    sel_h = (jax.lax.broadcasted_iota(jnp.int32, (grid_h, N), 1) // grid_w
-             == jax.lax.broadcasted_iota(jnp.int32, (grid_h, N), 0)
-             ).astype(qn.dtype)
-    s = s + jax.lax.dot_general(bh_ref[0].astype(qn.dtype), sel_h,
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
-
-    sel_w = (jax.lax.broadcasted_iota(jnp.int32, (grid_w, N), 1) % grid_w
-             == jax.lax.broadcasted_iota(jnp.int32, (grid_w, N), 0)
-             ).astype(qn.dtype)
-    s = s + jax.lax.dot_general(bw_ref[0].astype(qn.dtype), sel_w,
+    # Combined one-hot selector: row r < gh selects tokens with y == r,
+    # row gh + r selects tokens with x == r. Arithmetic blend instead of a
+    # boolean where — Mosaic cannot lower odd-shaped i1 vector selects.
+    r = jax.lax.broadcasted_iota(jnp.int32, (grid_h + grid_w, N), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (grid_h + grid_w, N), 1)
+    is_h = (r < grid_h).astype(qn.dtype)
+    m_h = (j // grid_w == r).astype(qn.dtype)
+    m_w = (j % grid_w == r - grid_h).astype(qn.dtype)
+    sel = is_h * m_h + (1.0 - is_h) * m_w
+    s = s + jax.lax.dot_general(bhw_ref[0].astype(qn.dtype), sel,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
@@ -115,12 +115,12 @@ def _attention_grouped(q, k, v, rh_e, rw_e, *, grid_h: int, grid_w: int,
     # bh[g, i, y] = q[g, i, :] . rh_e[i, y, :].
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    bh = jnp.einsum("gid,iyd->giy", q, rh_e.astype(q.dtype),
-                    preferred_element_type=jnp.float32,
-                    precision=prec).astype(q.dtype)        # (G, N, gh)
-    bw = jnp.einsum("gid,ixd->gix", q, rw_e.astype(q.dtype),
-                    preferred_element_type=jnp.float32,
-                    precision=prec).astype(q.dtype)        # (G, N, gw)
+    # Single concatenated tensor so the kernel's expansion is ONE matmul:
+    # bhw[g, i, :gh] = q.rh half, bhw[g, i, gh:] = q.rw half.
+    rhw_e = jnp.concatenate([rh_e, rw_e], axis=1)          # (N, gh+gw, hd)
+    bhw = jnp.einsum("gid,iyd->giy", q, rhw_e.astype(q.dtype),
+                     preferred_element_type=jnp.float32,
+                     precision=prec).astype(q.dtype)       # (G, N, gh+gw)
     kernel = functools.partial(_kernel, grid_h=grid_h, grid_w=grid_w,
                                scale=scale)
     nq = N // block_q
@@ -134,9 +134,8 @@ def _attention_grouped(q, k, v, rh_e, rw_e, *, grid_h: int, grid_w: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, hd), lambda g, qb: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, grid_h), lambda g, qb: (g, qb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, grid_w), lambda g, qb: (g, qb, 0),
+            pl.BlockSpec((1, block_q, grid_h + grid_w),
+                         lambda g, qb: (g, qb, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, hd), lambda g, qb: (g, qb, 0),
@@ -147,22 +146,113 @@ def _attention_grouped(q, k, v, rh_e, rw_e, *, grid_h: int, grid_w: int,
             bytes_accessed=4 * G * N * hd * 2,
             transcendentals=G * N * N),
         interpret=interpret,
-    )(q, k, v, bh, bw)
+    )(q, k, v, bhw)
+
+
+def _head_loop_kernel(q_ref, k_ref, v_ref, bhw_ref, o_ref, *, grid_h: int,
+                      grid_w: int, scale: float):
+    """One program = one window, ALL heads looped in-kernel.
+
+    Block shapes: q/k/v_ref (1, nh, N, hd), bhw_ref (1, nh, N, gh+gw),
+    o_ref like q. Merging the head axis into the program cuts the grid from
+    windows*heads to windows programs (ViT-H: 400 -> 25), amortising
+    per-program dispatch over 16 head iterations and building the combined
+    selector once per window instead of once per head."""
+    nh = q_ref.shape[1]
+    N = k_ref.shape[2]
+    dtype = q_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    r = jax.lax.broadcasted_iota(jnp.int32, (grid_h + grid_w, N), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (grid_h + grid_w, N), 1)
+    is_h = (r < grid_h).astype(dtype)
+    m_h = (j // grid_w == r).astype(dtype)
+    m_w = (j % grid_w == r - grid_h).astype(dtype)
+    sel = is_h * m_h + (1.0 - is_h) * m_w
+    for h in range(nh):
+        qn = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(qn, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec) * scale
+        s = s + jax.lax.dot_general(bhw_ref[0, h].astype(dtype), sel,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_h", "grid_w", "heads",
+                                             "interpret"))
+def _attention_head_fused(q, k, v, rh_e, rw_e, *, grid_h: int, grid_w: int,
+                          heads: int, interpret: bool = False) -> jnp.ndarray:
+    """Window-per-program variant for small-N geometries; q/k/v (G, N, hd)
+    with G == windows * heads, head index fastest (the reshape from
+    (B, nh, N, hd) used by the callers)."""
+    G, N, hd = q.shape
+    scale = hd ** -0.5
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    rhw_e = jnp.concatenate([rh_e, rw_e], axis=1)          # (N, gh+gw, hd)
+    bhw = jnp.einsum("gid,iyd->giy", q, rhw_e.astype(q.dtype),
+                     preferred_element_type=jnp.float32,
+                     precision=prec).astype(q.dtype)       # (G, N, gh+gw)
+    W = G // heads
+    q4 = q.reshape(W, heads, N, hd)
+    k4 = k.reshape(W, heads, N, hd)
+    v4 = v.reshape(W, heads, N, hd)
+    b4 = bhw.reshape(W, heads, N, grid_h + grid_w)
+    kernel = functools.partial(_head_loop_kernel, grid_h=grid_h,
+                               grid_w=grid_w, scale=scale)
+
+    def spec(last):
+        return pl.BlockSpec((1, heads, N, last), lambda w: (w, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(W,),
+        in_specs=[spec(hd), spec(hd), spec(hd), spec(grid_h + grid_w)],
+        out_specs=spec(hd),
+        out_shape=jax.ShapeDtypeStruct((W, heads, N, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * G * N * N * hd,
+            bytes_accessed=4 * G * N * hd * 2,
+            transcendentals=G * N * N),
+        interpret=interpret,
+    )(q4, k4, v4, b4)
+    return out.reshape(G, N, hd)
 
 
 def flash_attention_relpos(q, k, v, rh, rw, *, grid_h: int, grid_w: int,
+                           heads: int | None = None,
                            interpret: bool = False) -> jnp.ndarray:
     """Rel-pos attention over (G, N, hd) groups; N == grid_h * grid_w.
 
     rh: (grid_h, grid_h, hd) pre-gathered (rel_pos_h[idx]) or (2*gh-1, hd)
     raw table — both accepted; rw likewise. Query blocking: whole group per
-    program for windows (N <= 256), one spatial row for the global grid."""
+    program for windows (N <= 256), one spatial row for the global grid.
+    `heads` (optional): groups are windows*heads with head fastest — enables
+    the window-per-program kernel for small N (ViT-H windowed layers:
+    25 programs of 16 in-kernel head iterations instead of 400 programs)."""
     N = q.shape[1]
     if rh.ndim == 2:
         rh_e, rw_e = _gathered_tables(rh, rw, grid_h, grid_w, q.dtype)
     else:
         rh_e = jnp.repeat(rh, grid_w, axis=0).astype(q.dtype)
         rw_e = jnp.tile(rw, (grid_h, 1, 1)).astype(q.dtype)
+    if heads is not None and N <= 256 and q.shape[0] % heads == 0:
+        return _attention_head_fused(q, k, v, rh_e, rw_e, grid_h=grid_h,
+                                     grid_w=grid_w, heads=heads,
+                                     interpret=interpret)
     # Whole group per program for windows; for the big global grids 128-row
     # q-blocks measured fastest on v5e (1.92 ms vs 2.52 @64 / 2.09 @256 per
     # ViT-H global layer with the precomputed bias halves).

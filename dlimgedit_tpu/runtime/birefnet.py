@@ -51,7 +51,9 @@ def load_birefnet(env, kind: str) -> BiRefNetBundle:
 
     resolution = int(os.environ.get("DLIMG_BIREFNET_RESOLUTION",
                                     BIREFNET_RESOLUTION[kind]))
-    cfg = BiRefNetConfig(img_size=resolution)
+    cfg = BiRefNetConfig(
+        img_size=resolution,
+        deform_int8_gather=env.options.birefnet_int8_deform)
     for name in BIREFNET_BUNDLES[kind]:
         path = env.model_directory / "segmentation" / name
         if path.exists():
@@ -66,6 +68,7 @@ def load_birefnet(env, kind: str) -> BiRefNetBundle:
 
             cfg = BiRefNetConfig(
                 img_size=resolution,
+                deform_int8_gather=env.options.birefnet_int8_deform,
                 swin_cfg=SwinConfig(embed_dim=16, depths=(1, 1, 1, 1),
                                     num_heads=(2, 2, 2, 2), window=4),
                 dec_inter_channels=8, aspp_channelster=12, gdt_channels=4,

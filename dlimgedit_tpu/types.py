@@ -196,6 +196,11 @@ class Options:
     # projections run s8 x s8 on the MXU — 2x MXU throughput on v5e.
     # Implies quantize_encoder (int8 weights).
     quantize_activations: bool = False
+    # BiRefNet: gather deformable-sampling taps from an int8-quantised
+    # corner stack — roughly halves ASPPDeformable time (the taps sit at the
+    # measured TPU gather-bandwidth floor) for a bounded mask approximation
+    # (parity test caps the deviation). Off: exact torchvision numerics.
+    birefnet_int8_deform: bool = False
     # Preprocess resize: "device" (fused antialiased bilinear on TPU — the
     # fast path, matches SAM upstream semantics) or "host" (stb-semantics
     # sRGB Mitchell/Catmull-Rom resize on CPU — the reference's exact

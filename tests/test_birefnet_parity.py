@@ -130,6 +130,51 @@ def test_deform_conv_random_offsets_vs_oracle(ks):
         np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
 
 
+def test_deform_int8_gather_bounded_deviation():
+    """Opt-in int8 corner-stack (Options.birefnet_int8_deform): the sampled
+    activations are quantised to 8 bits before the gather — assert the conv
+    output deviates from the exact path by < 2% of the output range
+    (measured ~0.7% on this seed; the quantisation step is absmax/127)."""
+    rng = np.random.default_rng(0)
+    B, H, W, C, O, ks = 1, 14, 15, 24, 20, 3
+    K = ks * ks
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    offset = jnp.asarray(
+        (rng.standard_normal((B, H, W, 2 * K)) * 2).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0, 2, (B, H, W, K)).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((ks, ks, C, O)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(O).astype(np.float32))
+    exact = np.asarray(deform_conv2d(x, offset, mask, w, b, padding=1))
+    q = np.asarray(deform_conv2d(x, offset, mask, w, b, padding=1,
+                                 int8_gather=True))
+    dev = np.abs(exact - q).max() / np.abs(exact).max()
+    assert dev < 0.02, dev
+
+
+def test_birefnet_int8_deform_option_wiring():
+    """Options.birefnet_int8_deform reaches the model config (both the full
+    and the slim hermetic-test configs)."""
+    import os
+
+    import dlimgedit_tpu as dl
+    from dlimgedit_tpu.runtime.birefnet import load_birefnet
+
+    env = dl.Environment(dl.Options(backend=dl.Backend.cpu,
+                                    allow_random_weights=True,
+                                    birefnet_int8_deform=True))
+    old = os.environ.get("DLIMG_BIREFNET_TEST_SLIM")
+    os.environ["DLIMG_BIREFNET_TEST_SLIM"] = "1"
+    try:
+        bundle = load_birefnet(env, "general")
+    finally:
+        if old is None:
+            os.environ.pop("DLIMG_BIREFNET_TEST_SLIM", None)
+        else:
+            os.environ["DLIMG_BIREFNET_TEST_SLIM"] = old
+    assert bundle.cfg.deform_int8_gather is True
+
+
 # ---------------------------------------------------------------------------
 # BasicDecBlk torch oracle (upstream decoder_blocks.py, eval mode)
 # ---------------------------------------------------------------------------

@@ -28,6 +28,24 @@ def test_kernel_matches_dense(shape):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("heads", [2, 4])
+def test_head_fused_kernel_matches_dense(heads):
+    """Window-per-program branch (heads passed, N <= 256): one program per
+    window with an in-kernel head loop — the ViT windowed-layer path."""
+    windows, gh, gw, hd = 3, 5, 5, 16
+    N = gh * gw
+    G = windows * heads
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.standard_normal((G, N, hd)).astype(np.float32))
+               for _ in range(3))
+    rh = jnp.asarray(rng.standard_normal((gh, gh, hd)).astype(np.float32) * 0.3)
+    rw = jnp.asarray(rng.standard_normal((gw, gw, hd)).astype(np.float32) * 0.3)
+    ref = attention_reference(q, k, v, rh, rw, gh, gw)
+    out = flash_attention_relpos(q, k, v, rh, rw, grid_h=gh, grid_w=gw,
+                                 heads=heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_kernel_row_blocking_branch_matches_dense():
     """Real-geometry branch: N > 256 selects block_q = grid_w (the global
     64x64 ViT layers take this path on TPU) — assert correctness, not just

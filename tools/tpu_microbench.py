@@ -225,13 +225,218 @@ def cmd_tinyvit_stages(dev):
         prev = ms
 
 
+def cmd_birefnet(dev):
+    """BiRefNet full graph at both runtime resolutions (general @1024,
+    high_res @2048 — segmentation.cpp:222-225 escalation), exact vs the
+    opt-in int8 deform-gather path (Options.birefnet_int8_deform)."""
+    import dataclasses as dc
+
+    from dlimgedit_tpu.models import birefnet
+
+    for res in (1024, 2048):
+        x = jax.device_put(_img(res), dev)
+        for int8 in (False, True):
+            cfg = dc.replace(birefnet.BiRefNetConfig(img_size=res),
+                             deform_int8_gather=int8)
+            p = jax.device_put(_bf16(birefnet.init_birefnet(
+                jax.random.PRNGKey(0), cfg)), dev)
+            ms = slope_ms(lambda p, xx, e, c=cfg: birefnet.birefnet_apply(
+                p, xx * (1 + e).astype(xx.dtype), c), (p, x))
+            tag = "int8 deform" if int8 else "exact deform"
+            print(f"birefnet @{res} ({tag}): {ms:8.2f} ms", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-op MFU / bandwidth ledger (VERDICT round-2 #1)
+# ---------------------------------------------------------------------------
+
+# v5e single-chip peaks (public spec: 197 TFLOP/s bf16, 819 GB/s HBM).
+PEAK_TFLOPS_BF16 = 197.0
+PEAK_GBPS_HBM = 819.0
+
+
+def _mfu_row(name, ms, gflop, mbytes, n_layers=1):
+    """One ledger line: measured ms vs FLOP roofline vs HBM roofline."""
+    tflops = gflop / ms if ms > 0 else 0.0  # GFLOP/ms == TFLOP/s
+    mfu = 100.0 * tflops / PEAK_TFLOPS_BF16
+    bw = mbytes / ms if ms > 0 else 0.0     # MB/ms == GB/s
+    bwu = 100.0 * bw / PEAK_GBPS_HBM
+    floor = max(gflop / PEAK_TFLOPS_BF16, mbytes / PEAK_GBPS_HBM)
+    tot = ms * n_layers
+    print(f"{name:28s} {ms:8.3f} ms x{n_layers:2d} = {tot:7.2f} ms  "
+          f"{gflop:8.2f} GF  {mfu:5.1f}% MFU  {bwu:5.1f}% HBM  "
+          f"floor {floor:6.3f} ms", flush=True)
+    return tot
+
+
+def cmd_mfu(dev, variant="vit_h"):
+    """Per-op ledger for one SAM ViT encoder: each component measured in
+    isolation (slope method) and priced against both rooflines. The floor
+    column = max(FLOP time at peak MXU, byte time at peak HBM)."""
+    import dataclasses as dc
+
+    from dlimgedit_tpu.models import vit_sam
+    from dlimgedit_tpu.models.common import conv2d, gelu, linear
+    from dlimgedit_tpu.ops.flash_attention import (attention_reference,
+                                                   flash_attention_relpos)
+    from dlimgedit_tpu.ops.fused_norm import fused_layer_norm
+
+    cfg = dc.replace(vit_sam.VIT_PRESETS[variant](1024),
+                     use_flash_attention=True)
+    C = cfg.embed_dim
+    nh = cfg.num_heads
+    hd = C // nh
+    g = cfg.grid                       # 64
+    N = g * g                          # 4096 tokens
+    ws = cfg.window_size               # 14
+    nwin = (-(-g // ws)) ** 2          # padded windows per image (25)
+    nwt = ws * ws                      # tokens per window (196)
+    n_global = len(cfg.global_attn_indexes)
+    n_window = cfg.depth - n_global
+    hidden = int(C * cfg.mlp_ratio)
+    rng = np.random.default_rng(0)
+    bf = jnp.bfloat16
+    B2 = 2  # bytes/elem
+
+    def put(shape, scale=0.1):
+        return jax.device_put(
+            (rng.standard_normal(shape) * scale).astype(bf), dev)
+
+    x_tok = put((1, N, C))
+    x_sp = put((1, g, g, C))
+    print(f"== {variant} @1024: {cfg.depth} layers ({n_window} windowed + "
+          f"{n_global} global), C={C}, heads={nh}, hd={hd} ==", flush=True)
+    total = 0.0
+
+    # patch embed: 1024x1024x3 -> 64x64xC conv p16s16
+    img = put((1, 1024, 1024, 3), 0.5)
+    wpe = put((cfg.patch_size, cfg.patch_size, 3, C))
+    ms = slope_ms(lambda im, w, e: conv2d(im * (1 + e).astype(im.dtype), w,
+                                          stride=cfg.patch_size), (img, wpe))
+    total += _mfu_row("patch_embed conv", ms,
+                      2 * N * C * cfg.patch_size ** 2 * 3 / 1e9,
+                      (1024 * 1024 * 3 + N * C) * B2 / 1e6)
+
+    # fused LayerNorm (2 per layer)
+    scale_ = put((C,))
+    bias_ = put((C,))
+    ms = slope_ms(lambda xx, s, b, e: fused_layer_norm(
+        xx * (1 + e).astype(xx.dtype), s, b), (x_sp, scale_, bias_))
+    total += _mfu_row("layer_norm", ms, 10 * N * C / 1e9,
+                      2 * N * C * B2 / 1e6, 2 * cfg.depth)
+
+    # qkv projection (every layer)
+    wqkv = put((C, 3 * C))
+    bqkv = put((3 * C,))
+    ms = slope_ms(lambda xx, w, b, e: jnp.dot(
+        xx * (1 + e).astype(xx.dtype), w,
+        preferred_element_type=jnp.float32).astype(xx.dtype) + b,
+        (x_tok, wqkv, bqkv))
+    total += _mfu_row("qkv matmul", ms, 2 * N * C * 3 * C / 1e9,
+                      (N * C * 4 + 3 * C * C) * B2 / 1e6, cfg.depth)
+
+    # attention core, windowed geometry: G = nwin*nh groups of 196 tokens
+    Gw = nwin * nh
+    qw, kw, vw = put((Gw, nwt, hd)), put((Gw, nwt, hd)), put((Gw, nwt, hd))
+    rh_w = put((2 * ws - 1, hd))
+    fl_w = 4 * Gw * nwt * nwt * hd / 1e9
+    by_w = 4 * Gw * nwt * hd * B2 / 1e6
+    ms = slope_ms(lambda q, k, v, e: flash_attention_relpos(
+        q * (1 + e).astype(q.dtype), k, v, rh_w, rh_w, grid_h=ws,
+        grid_w=ws, heads=nh), (qw, kw, vw))
+    total += _mfu_row("window attn core (pallas)", ms, fl_w, by_w, n_window)
+    idx = np.arange(ws)[:, None] - np.arange(ws)[None, :] + ws - 1
+    rh_wg = jnp.take(rh_w, jnp.asarray(idx), axis=0)
+    ms = slope_ms(lambda q, k, v, e: attention_reference(
+        q * (1 + e).astype(q.dtype), k, v, rh_wg, rh_wg, ws, ws),
+        (qw, kw, vw))
+    _mfu_row("window attn core (dense)", ms, fl_w, by_w, n_window)
+
+    # attention core, global geometry: nh groups of 4096 tokens
+    qg, kg, vg = put((nh, N, hd)), put((nh, N, hd)), put((nh, N, hd))
+    rh_g = put((2 * g - 1, hd))
+    fl_g = 4 * nh * N * N * hd / 1e9
+    by_g = 4 * nh * N * hd * B2 / 1e6
+    ms = slope_ms(lambda q, k, v, e: flash_attention_relpos(
+        q * (1 + e).astype(q.dtype), k, v, rh_g, rh_g, grid_h=g, grid_w=g),
+        (qg, kg, vg))
+    total += _mfu_row("global attn core (pallas)", ms, fl_g, by_g, n_global)
+
+    # attention output projection (every layer)
+    wp = put((C, C))
+    bp = put((C,))
+    ms = slope_ms(lambda xx, w, b, e: jnp.dot(
+        xx * (1 + e).astype(xx.dtype), w,
+        preferred_element_type=jnp.float32).astype(xx.dtype) + b,
+        (x_tok, wp, bp))
+    total += _mfu_row("proj matmul", ms, 2 * N * C * C / 1e9,
+                      (2 * N * C + C * C) * B2 / 1e6, cfg.depth)
+
+    # MLP: lin1 -> gelu -> lin2 (every layer)
+    w1 = put((C, hidden))
+    b1 = put((hidden,))
+    w2 = put((hidden, C))
+    b2 = put((C,))
+    ms = slope_ms(
+        lambda xx, ww1, bb1, ww2, bb2, e: jnp.dot(
+            gelu(jnp.dot(xx * (1 + e).astype(xx.dtype), ww1,
+                         preferred_element_type=jnp.float32
+                         ).astype(xx.dtype) + bb1), ww2,
+            preferred_element_type=jnp.float32).astype(xx.dtype) + bb2,
+        (x_tok, w1, b1, w2, b2))
+    total += _mfu_row("mlp (lin1+gelu+lin2)", ms, 4 * N * C * hidden / 1e9,
+                      (2 * N * C + N * hidden + 2 * C * hidden) * B2 / 1e6,
+                      cfg.depth)
+
+    # window partition + unpartition round trip (forced materialisation;
+    # inside the encoder XLA fuses these into neighbours)
+    from dlimgedit_tpu.models.tinyvit import (_window_partition,
+                                              _window_unpartition)
+
+    def part_round(xx, e):
+        wx, meta = _window_partition(xx * (1 + e).astype(xx.dtype), ws)
+        wx = wx.reshape(-1, nwt, C) * 1.0000001
+        return _window_unpartition(wx, ws, meta, g, g, C)
+
+    ms = slope_ms(part_round, (x_sp,))
+    _mfu_row("window part+unpart (isol.)", ms, 0.0, 4 * N * C * B2 / 1e6,
+             n_window)
+
+    # neck convs
+    wn1 = put((1, 1, C, 256))
+    wn2 = put((3, 3, 256, 256))
+    ms = slope_ms(lambda xx, a, b, e: conv2d(
+        conv2d(xx * (1 + e).astype(xx.dtype), a), b, padding=1), (x_sp, wn1, wn2))
+    total += _mfu_row("neck convs", ms,
+                      (2 * N * C * 256 + 2 * N * 256 * 256 * 9) / 1e9,
+                      (N * C + 2 * N * 256) * B2 / 1e6)
+
+    print(f"{'accounted (sum of rows)':28s} {total:8.2f} ms", flush=True)
+
+    # whole encoder, same config, for the unaccounted residual
+    from dlimgedit_tpu.models import vit_sam as vs
+
+    p = jax.device_put(_bf16(vs.init_sam_vit(jax.random.PRNGKey(0), cfg)),
+                       dev)
+    ms = slope_ms(lambda pp, xx, e: vs.sam_vit_apply(
+        pp, xx * (1 + e).astype(xx.dtype), cfg), (p, img))
+    print(f"{'full encode (measured)':28s} {ms:8.2f} ms  "
+          f"(residual {ms - total:+.2f} ms = fusion/layout effects)",
+          flush=True)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("command", choices=["encoders", "batch", "attention",
-                                        "tinyvit-stages"])
+                                        "tinyvit-stages", "mfu", "birefnet"])
+    ap.add_argument("--variant", default="vit_h",
+                    help="mfu: encoder variant (vit_b/vit_l/vit_h)")
     args = ap.parse_args(argv)
     dev = jax.devices()[0]
     print(f"device: {dev} (platform {dev.platform})", flush=True)
+    if args.command == "mfu":
+        cmd_mfu(dev, args.variant)
+        return 0
     {"encoders": cmd_encoders, "batch": cmd_batch,
      "attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages
      }[args.command](dev)
