@@ -258,11 +258,33 @@ def _vit_block(params: Params, x: jnp.ndarray, cfg: SamViTConfig, window: int
     return x + y
 
 
+def _patch_embed(pe: Params, x: jnp.ndarray, P: int) -> jnp.ndarray:
+    """Non-overlapping patch embed as space-to-depth + ONE matmul.
+
+    Mathematically identical to conv2d(x, w, stride=P) for a P x P / s=P
+    kernel, but the conv lowering from 3 input channels measured 2.7% MFU
+    on v5e (1.51 ms of ViT-H; MFU ledger round 3) — the reshaped
+    (N, P*P*3) @ (P*P*3, C) form runs the same FLOPs as a full-tile MXU
+    matmul. The HWIO kernel reshape (P, P, 3, C) -> (P*P*3, C) matches the
+    (py, px, c) order of the space-to-depth output."""
+    B, S, _, c_in = x.shape
+    g = S // P
+    C = pe["w"].shape[-1]
+    xp = x.reshape(B, g, P, g, P, c_in).transpose(0, 1, 3, 2, 4, 5)
+    xp = xp.reshape(B, g, g, P * P * c_in)
+    w = pe["w"].astype(x.dtype).reshape(P * P * c_in, C)
+    prec = (HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    y = jnp.einsum("bhwk,kc->bhwc", xp, w,
+                   preferred_element_type=jnp.float32,
+                   precision=prec).astype(x.dtype)
+    return y + pe["b"].astype(x.dtype)
+
+
 def sam_vit_apply(params: Params, x: jnp.ndarray, cfg: SamViTConfig
                   ) -> jnp.ndarray:
     """x: (B, S, S, 3) normalised pixels -> (B, S/16, S/16, neck_dim)."""
-    pe = params["patch_embed"]
-    x = conv2d(x, pe["w"], stride=cfg.patch_size) + pe["b"].astype(x.dtype)
+    x = _patch_embed(params["patch_embed"], x, cfg.patch_size)
     if cfg.use_abs_pos and "pos_embed" in params:
         x = x + params["pos_embed"].astype(x.dtype)
     for i, bp in enumerate(params["blocks"]):

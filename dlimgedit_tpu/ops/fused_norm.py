@@ -40,13 +40,13 @@ def fused_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
         n *= d
     x2 = x.reshape(n, C)
     # Rows per program: a power of two (multiple of 8, the sublane tile, as
-    # Mosaic requires), targeting ~4 MB f32 (swept on v5e at ViT-H geometry
-    # (4096, 1280): 2 MB blocks ran at 163 GB/s, 4 MB measured best — fewer
-    # grid steps amortise per-program overhead; above that, double-buffered
-    # blocks start pressing scoped VMEM). Row counts that don't divide —
-    # e.g. TinyViT's 361 windows x 49 tokens = 17689 rows — are padded up;
-    # padded rows normalise garbage that is sliced off afterwards.
-    target = block_rows or max(8, (4 * 1024 * 1024) // (C * 4))
+    # Mosaic requires), targeting ~2 MB f32 — swept on v5e at ViT-H geometry
+    # (4096, 1280) with 64-deep measurement chains: 256 rows = 746 GB/s
+    # (91% of HBM peak; 512 rows 603, 1024 rows 618, stock XLA LN 569).
+    # Row counts that don't divide — e.g. TinyViT's 361 windows x 49 tokens
+    # = 17689 rows — are padded up; padded rows normalise garbage that is
+    # sliced off afterwards.
+    target = block_rows or max(8, (2 * 1024 * 1024) // (C * 4))
     rows = 8
     # Also clamp by n: without it a small input (n=16, C=64 -> target 8192)
     # would be zero-padded to 8192 rows and run ~500x the needed work.

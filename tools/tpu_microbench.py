@@ -41,29 +41,42 @@ from jax import lax  # noqa: E402
 N_CHAIN = 8
 
 
-def slope_ms(fn, args, reps=4):
-    """True per-iteration device time of fn(*args, eps) via 2-point slope."""
-    def make(nch):
-        def chained(*a):
-            def body(i, acc):
-                e = fn(*a, (acc * 1e-20))
-                return jnp.sum(e.astype(jnp.float32))
-            return lax.fori_loop(0, nch, body, jnp.float32(0))
-        return jax.jit(chained)
+def slope_ms(fn, args, reps=4, n_chain=None):
+    """True per-iteration device time of fn(*args, eps) via 2-point slope.
 
-    f1, f2 = make(N_CHAIN), make(2 * N_CHAIN)
-    jax.device_get(f1(*args))
-    jax.device_get(f2(*args))
+    Sub-0.15 ms ops are re-measured with an 8x deeper chain: at N=8 the
+    slope delta of a ~30 us op (~0.25 ms) sits inside the tunnel's run-to-
+    run noise and produced garbage (the round-2 ledger read LayerNorm at
+    0.129 ms when 64-deep chains show 0.028 ms at 746 GB/s)."""
+    def run(nch):
+        def make(n):
+            def chained(*a):
+                def body(i, acc):
+                    e = fn(*a, (acc * 1e-20))
+                    return jnp.sum(e.astype(jnp.float32))
+                return lax.fori_loop(0, n, body, jnp.float32(0))
+            return jax.jit(chained)
 
-    def best(f):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.device_get(f(*args))
-            ts.append((time.perf_counter() - t0) * 1e3)
-        return min(ts)
+        f1, f2 = make(nch), make(2 * nch)
+        jax.device_get(f1(*args))
+        jax.device_get(f2(*args))
 
-    return max(best(f2) - best(f1), 0.0) / N_CHAIN
+        def best(f):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                jax.device_get(f(*args))
+                ts.append((time.perf_counter() - t0) * 1e3)
+            return min(ts)
+
+        return max(best(f2) - best(f1), 0.0) / nch
+
+    if n_chain is not None:
+        return run(n_chain)
+    ms = run(N_CHAIN)
+    if ms < 0.15:
+        ms = run(8 * N_CHAIN)
+    return ms
 
 
 def _bf16(tree):
@@ -244,6 +257,47 @@ def cmd_birefnet(dev):
                 p, xx * (1 + e).astype(xx.dtype), c), (p, x))
             tag = "int8 deform" if int8 else "exact deform"
             print(f"birefnet @{res} ({tag}): {ms:8.2f} ms", flush=True)
+
+
+def cmd_vit_prefix(dev, variant="vit_h"):
+    """Cumulative prefix timing of one ViT encoder: patch embed + the first
+    k blocks (k = 0, 4, 8, ... depth) + neck. The deltas include every
+    in-context glue cost (qkv split transposes, window partition, residual
+    adds) that the isolated per-op ledger cannot see."""
+    import dataclasses as dc
+
+    from dlimgedit_tpu.models import vit_sam
+
+    cfg = dc.replace(vit_sam.VIT_PRESETS[variant](1024),
+                     use_flash_attention=True)
+    p = jax.device_put(_bf16(vit_sam.init_sam_vit(jax.random.PRNGKey(0),
+                                                  cfg)), dev)
+    x = jax.device_put(_img(), dev)
+
+    def prefix(k):
+        def f(pp, xx):
+            y = vit_sam._patch_embed(pp["patch_embed"], xx, cfg.patch_size)
+            if cfg.use_abs_pos and "pos_embed" in pp:
+                y = y + pp["pos_embed"].astype(y.dtype)
+            for i in range(k):
+                window = (0 if i in cfg.global_attn_indexes
+                          else cfg.window_size)
+                y = vit_sam._vit_block(pp["blocks"][i], y, cfg, window)
+            return y
+        return f
+
+    prev = 0.0
+    ks = list(range(0, cfg.depth + 1, 4))
+    for k in ks:
+        f = prefix(k)
+        ms = slope_ms(lambda pp, xx, e, f=f: f(
+            pp, xx * (1 + e).astype(xx.dtype)), (p, x))
+        n_glob = sum(1 for i in range(max(k - 4, 0), k)
+                     if i in cfg.global_attn_indexes)
+        print(f"+{k:2d} blocks: cum {ms:7.2f} ms  delta {ms - prev:7.2f} ms"
+              f"  ({4 - n_glob} windowed + {n_glob} global)"
+              if k else f"patch+pos : cum {ms:7.2f} ms", flush=True)
+        prev = ms
 
 
 # ---------------------------------------------------------------------------
@@ -428,7 +482,8 @@ def cmd_mfu(dev, variant="vit_h"):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("command", choices=["encoders", "batch", "attention",
-                                        "tinyvit-stages", "mfu", "birefnet"])
+                                        "tinyvit-stages", "mfu", "birefnet",
+                                        "vit-prefix"])
     ap.add_argument("--variant", default="vit_h",
                     help="mfu: encoder variant (vit_b/vit_l/vit_h)")
     args = ap.parse_args(argv)
@@ -436,6 +491,9 @@ def main(argv=None) -> int:
     print(f"device: {dev} (platform {dev.platform})", flush=True)
     if args.command == "mfu":
         cmd_mfu(dev, args.variant)
+        return 0
+    if args.command == "vit-prefix":
+        cmd_vit_prefix(dev, args.variant)
         return 0
     {"encoders": cmd_encoders, "batch": cmd_batch,
      "attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages
