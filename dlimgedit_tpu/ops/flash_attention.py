@@ -88,39 +88,62 @@ def _kernel(q_ref, k_ref, v_ref, bhw_ref, o_ref, *, grid_h: int,
 
 
 def _gathered_tables(rh, rw, grid_h, grid_w, dtype):
-    """rel_pos tables -> per-token gathered form.
-
-    rh: (2*gh-1, hd) raw table -> rh_e (N, gh, hd) with
-    rh_e[i, yj] = rh[yi - yj + gh - 1]; same for rw along x."""
+    """rel_pos tables -> gathered form: rh (2*gh-1, hd) raw table ->
+    rh_g (gh, gh, hd) with rh_g[yi, yj] = rh[yi - yj + gh - 1]; same for
+    rw along x."""
     idx_h = np.arange(grid_h)[:, None] - np.arange(grid_h)[None, :] + grid_h - 1
     idx_w = np.arange(grid_w)[:, None] - np.arange(grid_w)[None, :] + grid_w - 1
     rh_g = jnp.take(rh, jnp.asarray(idx_h), axis=0)        # (gh, gh, hd)
     rw_g = jnp.take(rw, jnp.asarray(idx_w), axis=0)        # (gw, gw, hd)
-    # Per-token: token i=(yi, xi) -> rows repeat along the other axis.
-    rh_e = jnp.repeat(rh_g, grid_w, axis=0)                # (N, gh, hd)
-    rw_e = jnp.tile(rw_g, (grid_h, 1, 1))                  # (N, gw, hd)
-    return rh_e.astype(dtype), rw_e.astype(dtype)
+    return rh_g.astype(dtype), rw_g.astype(dtype)
+
+
+def _bias_halves(q, rh_g, rw_g, grid_h, grid_w, prec, mode: str = "grid"):
+    """[q.rh | q.rw] bias halves, (G, N, gh+gw).
+
+    mode="grid": two batched matmuls over the grid row / column directly
+    from the compact (gh, gh, hd) tables. mode="expand": round-2 form —
+    expand the tables to per-token (N, gh+gw, hd) and run one i-batched
+    einsum. Interleaved same-process A/B on v5e (round 3): grid wins the
+    64x64 global geometry (1.57 vs 1.78 ms/layer — expand materialises a
+    40 MB table), expand wins the 14x14 windows (0.38 vs 0.46 ms/layer —
+    the tiny tables cost nothing and the single einsum beats two
+    badly-batched grid matmuls). flash_attention_relpos picks per
+    geometry."""
+    G, N, hd = q.shape
+    if mode == "expand":
+        rh_e = jnp.repeat(rh_g, grid_w, axis=0)            # (N, gh, hd)
+        rw_e = jnp.tile(rw_g, (grid_h, 1, 1))              # (N, gw, hd)
+        rhw_e = jnp.concatenate([rh_e, rw_e], axis=1)      # (N, gh+gw, hd)
+        return jnp.einsum("gid,iyd->giy", q, rhw_e.astype(q.dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=prec).astype(q.dtype)
+    q4 = q.reshape(G, grid_h, grid_w, hd)
+    bh = jnp.einsum("ghwd,hyd->ghwy", q4, rh_g.astype(q.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=prec).astype(q.dtype)        # (G, gh, gw, gh)
+    bw = jnp.einsum("ghwd,wyd->ghwy", q4, rw_g.astype(q.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=prec).astype(q.dtype)        # (G, gh, gw, gw)
+    return jnp.concatenate([bh, bw], axis=-1).reshape(
+        G, N, grid_h + grid_w)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_h", "grid_w", "block_q",
-                                             "interpret"))
-def _attention_grouped(q, k, v, rh_e, rw_e, *, grid_h: int, grid_w: int,
-                       block_q: int, interpret: bool = False) -> jnp.ndarray:
+                                             "interpret", "bias_mode"))
+def _attention_grouped(q, k, v, rh_g, rw_g, *, grid_h: int, grid_w: int,
+                       block_q: int, interpret: bool = False,
+                       bias_mode: str = "grid") -> jnp.ndarray:
     """q, k, v: (G, N, hd) — G independent attention groups over N tokens.
-    rh_e: (N, grid_h, hd), rw_e: (N, grid_w, hd) shared across groups."""
+    rh_g: (grid_h, grid_h, hd), rw_g: (grid_w, grid_w, hd) shared across
+    groups."""
     G, N, hd = q.shape
     assert N == grid_h * grid_w and N % block_q == 0
     scale = hd ** -0.5
-    # Bias halves on the MXU, once per layer (see _kernel docstring):
-    # bh[g, i, y] = q[g, i, :] . rh_e[i, y, :].
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    # Single concatenated tensor so the kernel's expansion is ONE matmul:
-    # bhw[g, i, :gh] = q.rh half, bhw[g, i, gh:] = q.rw half.
-    rhw_e = jnp.concatenate([rh_e, rw_e], axis=1)          # (N, gh+gw, hd)
-    bhw = jnp.einsum("gid,iyd->giy", q, rhw_e.astype(q.dtype),
-                     preferred_element_type=jnp.float32,
-                     precision=prec).astype(q.dtype)       # (G, N, gh+gw)
+    # Bias halves on the MXU, once per layer (see _kernel docstring).
+    bhw = _bias_halves(q, rh_g, rw_g, grid_h, grid_w, prec, mode=bias_mode)
     kernel = functools.partial(_kernel, grid_h=grid_h, grid_w=grid_w,
                                scale=scale)
     nq = N // block_q
@@ -191,9 +214,10 @@ def _head_loop_kernel(q_ref, k_ref, v_ref, bhw_ref, o_ref, *, grid_h: int,
 
 
 @functools.partial(jax.jit, static_argnames=("grid_h", "grid_w", "heads",
-                                             "interpret"))
-def _attention_head_fused(q, k, v, rh_e, rw_e, *, grid_h: int, grid_w: int,
-                          heads: int, interpret: bool = False) -> jnp.ndarray:
+                                             "interpret", "bias_mode"))
+def _attention_head_fused(q, k, v, rh_g, rw_g, *, grid_h: int, grid_w: int,
+                          heads: int, interpret: bool = False,
+                          bias_mode: str = "grid") -> jnp.ndarray:
     """Window-per-program variant for small-N geometries; q/k/v (G, N, hd)
     with G == windows * heads, head index fastest (the reshape from
     (B, nh, N, hd) used by the callers)."""
@@ -201,10 +225,7 @@ def _attention_head_fused(q, k, v, rh_e, rw_e, *, grid_h: int, grid_w: int,
     scale = hd ** -0.5
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    rhw_e = jnp.concatenate([rh_e, rw_e], axis=1)          # (N, gh+gw, hd)
-    bhw = jnp.einsum("gid,iyd->giy", q, rhw_e.astype(q.dtype),
-                     preferred_element_type=jnp.float32,
-                     precision=prec).astype(q.dtype)       # (G, N, gh+gw)
+    bhw = _bias_halves(q, rh_g, rw_g, grid_h, grid_w, prec, mode=bias_mode)
     W = G // heads
     q4 = q.reshape(W, heads, N, hd)
     k4 = k.reshape(W, heads, N, hd)
@@ -245,20 +266,22 @@ def flash_attention_relpos(q, k, v, rh, rw, *, grid_h: int, grid_w: int,
     25 programs of 16 in-kernel head iterations instead of 400 programs)."""
     N = q.shape[1]
     if rh.ndim == 2:
-        rh_e, rw_e = _gathered_tables(rh, rw, grid_h, grid_w, q.dtype)
+        rh_g, rw_g = _gathered_tables(rh, rw, grid_h, grid_w, q.dtype)
     else:
-        rh_e = jnp.repeat(rh, grid_w, axis=0).astype(q.dtype)
-        rw_e = jnp.tile(rw, (grid_h, 1, 1)).astype(q.dtype)
+        rh_g = rh.astype(q.dtype)
+        rw_g = rw.astype(q.dtype)
     if heads is not None and N <= 256 and q.shape[0] % heads == 0:
-        return _attention_head_fused(q, k, v, rh_e, rw_e, grid_h=grid_h,
+        return _attention_head_fused(q, k, v, rh_g, rw_g, grid_h=grid_h,
                                      grid_w=grid_w, heads=heads,
+                                     bias_mode="expand",
                                      interpret=interpret)
     # Whole group per program for windows; for the big global grids 128-row
     # q-blocks measured fastest on v5e (1.92 ms vs 2.52 @64 / 2.09 @256 per
     # ViT-H global layer with the precomputed bias halves).
     block_q = N if N <= 256 else (128 if N % 128 == 0 else grid_w)
-    return _attention_grouped(q, k, v, rh_e, rw_e, grid_h=grid_h,
+    return _attention_grouped(q, k, v, rh_g, rw_g, grid_h=grid_h,
                               grid_w=grid_w, block_q=block_q,
+                              bias_mode="expand" if N <= 256 else "grid",
                               interpret=interpret)
 
 
