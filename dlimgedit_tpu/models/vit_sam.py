@@ -212,11 +212,53 @@ def _layer_norm(params: Params, x: jnp.ndarray, cfg: SamViTConfig
     return layer_norm(params, x, eps=cfg.layer_norm_eps)
 
 
-def _vit_block(params: Params, x: jnp.ndarray, cfg: SamViTConfig, window: int
-               ) -> jnp.ndarray:
+def _use_fused_ln(cfg: SamViTConfig) -> bool:
+    return (cfg.use_flash_attention if cfg.fused_layer_norm is None
+            else cfg.fused_layer_norm)
+
+
+def _vit_block_carry(params: Params, base: jnp.ndarray,
+                     delta, cfg: SamViTConfig, window: int):
+    """One transformer block in residual-carry form.
+
+    Takes the residual stream as (base, delta) with x = base + delta
+    (delta None for the first block) and returns (h, mlp_out) with the
+    block output = h + mlp_out. This lets BOTH residual adds fuse into
+    the Pallas LayerNorm kernel (ops/fused_norm.fused_add_layer_norm):
+    the unfused add's output otherwise round-trips HBM before the
+    (opaque-to-XLA-fusion) LN kernel reads it back — one full activation
+    pass saved per LN, bit-matching the unfused chain."""
+    fused = _use_fused_ln(cfg)
+    if delta is None:
+        x = base
+        y1 = _layer_norm(params["norm1"], x, cfg)
+    elif fused:
+        from ..ops.fused_norm import fused_add_layer_norm
+
+        x, y1 = fused_add_layer_norm(
+            base, delta, params["norm1"]["scale"], params["norm1"]["bias"],
+            eps=cfg.layer_norm_eps, interpret=cfg.flash_interpret)
+    else:
+        x = base + delta
+        y1 = _layer_norm(params["norm1"], x, cfg)
+    a = _vit_attn_branch(params, y1, cfg, window)
+    if fused:
+        from ..ops.fused_norm import fused_add_layer_norm
+
+        h, y2 = fused_add_layer_norm(
+            x, a, params["norm2"]["scale"], params["norm2"]["bias"],
+            eps=cfg.layer_norm_eps, interpret=cfg.flash_interpret)
+    else:
+        h = x + a
+        y2 = _layer_norm(params["norm2"], h, cfg)
+    m = linear(params["mlp"]["lin2"], gelu(linear(params["mlp"]["lin1"], y2)))
+    return h, m
+
+
+def _vit_attn_branch(params: Params, x: jnp.ndarray, cfg: SamViTConfig,
+                     window: int) -> jnp.ndarray:
+    """The attention half-block applied to the already-normed x."""
     B, H, W, C = x.shape
-    shortcut = x
-    x = _layer_norm(params["norm1"], x, cfg)
     if window > 0 and cfg.fused_window_blocks and cfg.use_rel_pos:
         # Kernel-sliced windows: no physical partition/head transposes.
         from ..ops.flash_attention import windowed_attention_fused
@@ -252,10 +294,15 @@ def _vit_block(params: Params, x: jnp.ndarray, cfg: SamViTConfig, window: int
         x = _vit_attention(params, x, cfg.num_heads, cfg.use_rel_pos,
                            use_flash=cfg.use_flash_attention,
                            flash_interpret=cfg.flash_interpret)
-    x = shortcut + x
-    y = _layer_norm(params["norm2"], x, cfg)
-    y = linear(params["mlp"]["lin2"], gelu(linear(params["mlp"]["lin1"], y)))
-    return x + y
+    return x
+
+
+def _vit_block(params: Params, x: jnp.ndarray, cfg: SamViTConfig, window: int
+               ) -> jnp.ndarray:
+    """Single-block form (tests / prefix benchmarks); sam_vit_apply uses
+    the carry form so the inter-block residual add also fuses."""
+    h, m = _vit_block_carry(params, x, None, cfg, window)
+    return h + m
 
 
 def _patch_embed(pe: Params, x: jnp.ndarray, P: int) -> jnp.ndarray:
@@ -287,9 +334,14 @@ def sam_vit_apply(params: Params, x: jnp.ndarray, cfg: SamViTConfig
     x = _patch_embed(params["patch_embed"], x, cfg.patch_size)
     if cfg.use_abs_pos and "pos_embed" in params:
         x = x + params["pos_embed"].astype(x.dtype)
+    # Residual-carry chain: block i's output add is deferred into block
+    # i+1's fused add+LN (see _vit_block_carry).
+    delta = None
     for i, bp in enumerate(params["blocks"]):
         window = 0 if i in cfg.global_attn_indexes else cfg.window_size
-        x = _vit_block(bp, x, cfg, window)
+        x, delta = _vit_block_carry(bp, x, delta, cfg, window)
+    if delta is not None:
+        x = x + delta
     neck = params["neck"]
     x = conv2d(x, neck["conv1"]["w"].astype(x.dtype))
     x = layer_norm(neck["ln1"], x, eps=1e-6)

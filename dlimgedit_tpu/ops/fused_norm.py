@@ -27,6 +27,22 @@ def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
+def _add_ln_kernel(x_ref, d_ref, scale_ref, bias_ref, s_ref, o_ref, *,
+                   eps: float):
+    """Residual add + LayerNorm in one pass: s = x + d (written in the
+    activation dtype, it IS the residual stream) and o = LN(s)."""
+    s = x_ref[...].astype(jnp.float32) + d_ref[...].astype(jnp.float32)
+    s_ref[...] = s.astype(s_ref.dtype)
+    s = s_ref[...].astype(jnp.float32)  # re-read rounded value: o must be
+    # LN of the dtype-rounded sum, bit-matching the unfused add -> LN chain
+    m = jnp.mean(s, axis=-1, keepdims=True)
+    m2 = jnp.mean(s * s, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(m2 - m * m, 0.0) + eps)
+    y = (s - m) * inv
+    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
 def fused_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                      eps: float = 1e-6, interpret: bool = False,
                      block_rows: int | None = None) -> jnp.ndarray:
@@ -72,3 +88,49 @@ def fused_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     if n_pad != n:
         out = out[:n]
     return out.reshape(orig_shape)
+
+
+def fused_add_layer_norm(x: jnp.ndarray, delta: jnp.ndarray,
+                         scale: jnp.ndarray, bias: jnp.ndarray,
+                         eps: float = 1e-6, interpret: bool = False,
+                         block_rows: int | None = None):
+    """Residual add + LayerNorm in ONE kernel pass.
+
+    Returns ``(x + delta, layer_norm(x + delta))``. The ViT residual
+    stream does `h = x + a; y = LN(h)` at every half-block — as separate
+    ops the add's output round-trips HBM before the (opaque-to-fusion)
+    Pallas LN reads it back; fusing saves one full read+write of the
+    activation per LN (~21 MB per ViT-H layer-half). The sum is rounded
+    to the activation dtype BEFORE the stats so results bit-match the
+    unfused add -> LN chain."""
+    orig_shape = x.shape
+    C = orig_shape[-1]
+    n = 1
+    for d in orig_shape[:-1]:
+        n *= d
+    x2 = x.reshape(n, C)
+    d2 = delta.reshape(n, C)
+    target = block_rows or max(8, (2 * 1024 * 1024) // (C * 4))
+    rows = 8
+    while rows * 2 <= target and rows < n:
+        rows *= 2
+    n_pad = ((n + rows - 1) // rows) * rows
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
+        d2 = jnp.pad(d2, ((0, n_pad - n), (0, 0)))
+    rspec = pl.BlockSpec((rows, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM)
+    s, out = pl.pallas_call(
+        functools.partial(_add_ln_kernel, eps=eps),
+        grid=(n_pad // rows,),
+        in_specs=[rspec, rspec, cspec, cspec],
+        out_specs=[rspec, rspec],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, C), x.dtype),
+                   jax.ShapeDtypeStruct((n_pad, C), x.dtype)],
+        interpret=interpret,
+    )(x2, d2, scale, bias)
+    if n_pad != n:
+        s = s[:n]
+        out = out[:n]
+    return s.reshape(orig_shape), out.reshape(orig_shape)

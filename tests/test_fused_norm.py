@@ -46,3 +46,49 @@ def test_tinyvit_fused_norm_matches_stock():
     fused = tinyvit.tiny_vit_apply(params, x, fused_cfg)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(stock),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_fused_add_layer_norm_matches_unfused():
+    """(x+d, LN(x+d)) from the fused kernel == the separate add -> LN
+    chain, including the non-divisible-row padding path."""
+    import jax
+
+    from dlimgedit_tpu.ops.fused_norm import (fused_add_layer_norm,
+                                              fused_layer_norm)
+
+    rng = np.random.default_rng(0)
+    for shape in ((4, 7, 33), (1, 12, 12, 64)):
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        scale = jnp.asarray(rng.standard_normal(shape[-1]).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(shape[-1]).astype(np.float32))
+        s, y = jax.jit(lambda a, b: fused_add_layer_norm(
+            a, b, scale, bias, interpret=True))(x, d)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(x + d),
+                                   atol=1e-6)
+        want = fused_layer_norm(x + d, scale, bias, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_vit_carry_chain_matches_blockwise():
+    """sam_vit_apply's residual-carry chain (fused add+LN) == the
+    per-block form with plain adds, on the flash/interpret config."""
+    import dataclasses
+
+    import jax
+
+    from dlimgedit_tpu.models.vit_sam import (SamViTConfig, init_sam_vit,
+                                              sam_vit_apply)
+
+    cfg = SamViTConfig(img_size=64, patch_size=16, embed_dim=32, depth=3,
+                       num_heads=4, window_size=2, global_attn_indexes=(1,),
+                       use_flash_attention=True, flash_interpret=True)
+    params = init_sam_vit(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    fused = sam_vit_apply(params, x, cfg)
+    plain = sam_vit_apply(params, x,
+                          dataclasses.replace(cfg, use_flash_attention=False,
+                                              fused_layer_norm=False))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                               atol=5e-5, rtol=1e-4)

@@ -496,7 +496,8 @@ def main(argv=None) -> int:
         cmd_vit_prefix(dev, args.variant)
         return 0
     {"encoders": cmd_encoders, "batch": cmd_batch,
-     "attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages
+     "attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages,
+     "birefnet": cmd_birefnet,
      }[args.command](dev)
     return 0
 
