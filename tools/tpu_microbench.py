@@ -362,12 +362,15 @@ def cmd_mfu(dev, variant="vit_h"):
           f"{n_global} global), C={C}, heads={nh}, hd={hd} ==", flush=True)
     total = 0.0
 
-    # patch embed: 1024x1024x3 -> 64x64xC conv p16s16
+    # patch embed: 1024x1024x3 -> 64x64xC, space-to-depth matmul form
+    # (vit_sam._patch_embed; the conv lowering measured 2.9% MFU)
     img = put((1, 1024, 1024, 3), 0.5)
-    wpe = put((cfg.patch_size, cfg.patch_size, 3, C))
-    ms = slope_ms(lambda im, w, e: conv2d(im * (1 + e).astype(im.dtype), w,
-                                          stride=cfg.patch_size), (img, wpe))
-    total += _mfu_row("patch_embed conv", ms,
+    pe = {"w": put((cfg.patch_size, cfg.patch_size, 3, C)),
+          "b": put((C,))}
+    ms = slope_ms(lambda im, e: vit_sam._patch_embed(
+        {"w": pe["w"], "b": pe["b"]}, im * (1 + e).astype(im.dtype),
+        cfg.patch_size), (img,))
+    total += _mfu_row("patch_embed (s2d matmul)", ms,
                       2 * N * C * cfg.patch_size ** 2 * 3 / 1e9,
                       (1024 * 1024 * 3 + N * C) * B2 / 1e6)
 
