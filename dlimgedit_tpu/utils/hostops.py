@@ -29,7 +29,7 @@ from typing import Optional
 
 _REPO = Path(__file__).resolve().parents[2]
 _SRC = _REPO / "native" / "src" / "hostops.cpp"
-_ABI_VERSION = 1
+_ABI_VERSION = 2
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -47,6 +47,11 @@ def _configure(lib: ctypes.CDLL) -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
     ]
     lib.dlimg_hostops_pack_rgb.restype = None
+    lib.dlimg_hostops_resize_mask_box.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+    ]
+    lib.dlimg_hostops_resize_mask_box.restype = None
     return lib
 
 
@@ -131,4 +136,22 @@ def pack_rgb(src, cmap, dst, h: int, w: int) -> bool:
         src.ctypes.data, src.strides[0], h, w, c,
         cmap[0], cmap[1], cmap[2],
         dst.ctypes.data, dst.strides[0], 0)
+    return True
+
+
+def resize_mask_box(src, dst) -> bool:
+    """Native single-channel box-filter resize src (H, W) u8 -> dst (H', W')
+    u8, the resize_mask semantics (image/resize.py) to within one grey
+    level at .5 ties. Used by the Python-free serving shim's
+    segment_objects (capi.cpp); exposed here for the parity test.
+    Returns False when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return False
+    if (src.dtype.itemsize != 1 or dst.dtype.itemsize != 1
+            or src.strides[1] != 1 or dst.strides[1] != 1):
+        return False
+    lib.dlimg_hostops_resize_mask_box(
+        src.ctypes.data, src.shape[0], src.shape[1], src.strides[0],
+        dst.ctypes.data, dst.shape[0], dst.shape[1], dst.strides[0])
     return True

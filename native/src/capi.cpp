@@ -13,17 +13,39 @@
 // Works both as a standalone embedder (initialises Python on first use) and
 // when loaded into an existing Python process (tests load it via ctypes).
 
+// Serving mode (SURVEY §7 step 5): when DLIMG_PJRT_BUNDLE points at a
+// directory produced by `tools/aot_export.py --program serving`, the hot
+// path (process / compute_mask / compute_masks) runs through the PJRT C
+// API with NO Python in the process (pjrt_backend.cpp); the embedded
+// interpreter below is then only touched by segment_objects and exotic
+// codec fallbacks.
+
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
 #include <dlimgedit/detail/dlimgedit.h>
 
+#include <algorithm>
 #include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <string>
+#include <vector>
 
 #include "codecs.hpp"
+#include "pjrt_backend.hpp"
+
+// native/src/hostops.cpp (compiled into this library too): the
+// channel-map pack shared with the Python fast path.
+extern "C" void dlimg_hostops_pack_rgb(const uint8_t* src,
+                                       int64_t src_stride, int h, int w,
+                                       int src_c, int m0, int m1, int m2,
+                                       uint8_t* dst, int64_t dst_stride,
+                                       int threads);
+extern "C" void dlimg_hostops_resize_mask_box(const uint8_t* src, int src_h,
+                                              int src_w, int64_t src_stride,
+                                              uint8_t* dst, int dst_h,
+                                              int dst_w, int64_t dst_stride);
 
 namespace {
 
@@ -120,21 +142,256 @@ PyObject* bridge_call(char const* fn, PyObject* args /* steals */) {
 // ---------------------------------------------------------------------------
 
 struct dlimg_Environment_ {
-    PyObject* obj;
+    PyObject* obj = nullptr;                 // embedded-Python mode
+    dlimg_pjrt::Backend* pjrt = nullptr;     // native serving mode
 };
 struct dlimg_Segmentation_ {
-    PyObject* obj;
-    int width;
-    int height;
+    PyObject* obj = nullptr;
+    int width = 0;
+    int height = 0;
+    // native serving mode state (the on-device embedding is the cache):
+    dlimg_pjrt::Backend* pjrt = nullptr;
+    dlimg_pjrt::Buf* emb = nullptr;
+    int bucket = 0;
+    double scale = 1.0;  // double: mirrors resize.py's Python-float rounding
+    int crop_h = 0;
+    int crop_w = 0;
 };
 
 namespace {
+
+// ---------------------------------------------------------------------------
+// Native serving mode (PJRT C API, no Python on the hot path)
+// ---------------------------------------------------------------------------
+
+// Channel-index maps, mirroring dlimgedit_tpu.types.RGB_CHANNEL_MAP
+// (create_image_tensor, reference segmentation.cpp:81-97).
+void rgb_map(int channels, int* c, int m[3]) {
+    switch (channels) {
+        case 1: *c = 1; m[0] = m[1] = m[2] = 0; break;           // mask
+        case 3: *c = 3; m[0] = 0; m[1] = 1; m[2] = 2; break;     // rgb
+        case 4: *c = 4; m[0] = 0; m[1] = 1; m[2] = 2; break;     // rgba
+        case 5: *c = 4; m[0] = 2; m[1] = 1; m[2] = 0; break;     // bgra
+        default: *c = 4; m[0] = 1; m[1] = 2; m[2] = 3; break;    // argb
+    }
+}
+
+dlimg_Result pjrt_process(dlimg_Segmentation* out, dlimg_ImageView const* img,
+                          dlimg_Environment env) {
+    auto* be = env->pjrt;
+    int w = img->width, h = img->height;
+    int bucket = 0;
+    for (int b : dlimg_pjrt::buckets(be))
+        if (std::max(w, h) <= b && (bucket == 0 || b < bucket)) bucket = b;
+    if (bucket == 0) {
+        set_error("image " + std::to_string(w) + "x" + std::to_string(h) +
+                  " exceeds every exported canvas bucket (re-run "
+                  "tools/aot_export.py --program serving with a larger "
+                  "--buckets)");
+        return dlimg_error;
+    }
+    // ResizeLongestSide math (segmentation.cpp:58-74): the device program
+    // does the actual resample; the host only computes the target dims.
+    double scale = double(dlimg_pjrt::image_size(be)) / double(std::max(w, h));
+    int tw = int(w * scale + 0.5);
+    int th = int(h * scale + 0.5);
+
+    int c, m[3];
+    rgb_map(img->channels, &c, m);
+    int64_t stride = img->stride ? img->stride : int64_t(w) * c;
+    std::vector<uint8_t> canvas(size_t(bucket) * bucket * 3, 0);
+    dlimg_hostops_pack_rgb(img->pixels, stride, h, w, c, m[0], m[1], m[2],
+                           canvas.data(), int64_t(bucket) * 3, 0);
+    int32_t sizes[4] = {h, w, th, tw};
+
+    std::string name = "serve_embed_" + dlimg_pjrt::variant(be) + "_" +
+                       std::to_string(bucket);
+    std::vector<dlimg_pjrt::Arg> args(2);
+    args[0].host = canvas.data();
+    args[0].dims = {bucket, bucket, 3};
+    args[0].dtype = "uint8";
+    args[1].host = sizes;
+    args[1].dims = {4};
+    args[1].dtype = "int32";
+    std::vector<dlimg_pjrt::Buf*> outs;
+    std::string err;
+    if (!dlimg_pjrt::run(be, name, args, &outs, &err)) {
+        set_error(err);
+        return dlimg_error;
+    }
+    auto* seg = new dlimg_Segmentation_{};
+    seg->width = w;
+    seg->height = h;
+    seg->pjrt = be;
+    seg->emb = outs[0];
+    for (size_t i = 1; i < outs.size(); ++i) dlimg_pjrt::release(be, outs[i]);
+    seg->bucket = bucket;
+    seg->scale = scale;
+    seg->crop_h = th;
+    seg->crop_w = tw;
+    *out = seg;
+    return dlimg_success;
+}
+
+// Unpack pack_mask_bits rows (MSB-first bytes) into a (h, w) 0/255 mask.
+void unpack_mask(const uint8_t* packed, int bucket, int h, int w,
+                 uint8_t* dst) {
+    int row_bytes = bucket / 8;
+    for (int y = 0; y < h; ++y) {
+        const uint8_t* row = packed + size_t(y) * row_bytes;
+        for (int x = 0; x < w; ++x)
+            dst[size_t(y) * w + x] =
+                (row[x >> 3] >> (7 - (x & 7))) & 1 ? 255 : 0;
+    }
+}
+
+dlimg_Result pjrt_get_mask(dlimg_Segmentation seg, int const* point,
+                           int const* region, uint8_t** out_masks,
+                           float* out_accuracies) {
+    auto* be = seg->pjrt;
+    bool single = out_masks[1] == nullptr;
+    // Prompt protocol (segmentation.cpp:131-152): point -> (p,1)+(0,-1);
+    // region -> (tl,2)+(br,3).
+    float pts[4] = {0, 0, 0, 0};
+    float lbl[2] = {0, 0};
+    auto tp = [&](int v) { return float(int(v * seg->scale + 0.5)); };
+    if (point) {
+        pts[0] = tp(point[0]);
+        pts[1] = tp(point[1]);
+        lbl[0] = 1.0f;
+        lbl[1] = -1.0f;
+    } else if (region) {
+        pts[0] = tp(region[0]);
+        pts[1] = tp(region[1]);
+        pts[2] = tp(region[2]);
+        pts[3] = tp(region[3]);
+        lbl[0] = 2.0f;
+        lbl[1] = 3.0f;
+    } else {
+        set_error("compute_mask: neither point nor region given");
+        return dlimg_error;
+    }
+    int32_t sizes[4] = {seg->height, seg->width, seg->crop_h, seg->crop_w};
+    std::string name = (single ? "serve_decode_" : "serve_decode3_") +
+                       dlimg_pjrt::variant(be) + "_" +
+                       std::to_string(seg->bucket);
+    std::vector<dlimg_pjrt::Arg> args(4);
+    args[0].dev = seg->emb;
+    args[1].host = pts;
+    args[1].dims = {1, 2, 2};
+    args[1].dtype = "float32";
+    args[2].host = lbl;
+    args[2].dims = {1, 2};
+    args[2].dtype = "float32";
+    args[3].host = sizes;
+    args[3].dims = {4};
+    args[3].dtype = "int32";
+    std::vector<dlimg_pjrt::Buf*> outs;
+    std::string err;
+    if (!dlimg_pjrt::run(be, name, args, &outs, &err)) {
+        set_error(err);
+        return dlimg_error;
+    }
+    int n_masks = single ? 1 : 3;
+    size_t row_bytes = size_t(seg->bucket) / 8;
+    std::vector<uint8_t> packed(size_t(n_masks) * seg->bucket * row_bytes);
+    std::vector<float> iou(n_masks);
+    bool ok = dlimg_pjrt::fetch(be, outs[1], iou.data(),
+                                iou.size() * sizeof(float), &err) &&
+              dlimg_pjrt::fetch(be, outs[0], packed.data(), packed.size(),
+                                &err);
+    for (auto* o : outs) dlimg_pjrt::release(be, o);
+    if (!ok) {
+        set_error(err);
+        return dlimg_error;
+    }
+    for (int i = 0; i < n_masks; ++i) {
+        unpack_mask(packed.data() + size_t(i) * seg->bucket * row_bytes,
+                    seg->bucket, seg->height, seg->width, out_masks[i]);
+        if (out_accuracies) out_accuracies[i] = iou[i];
+    }
+    return dlimg_success;
+}
+
+// segment_objects without Python: mirrors runtime/birefnet.py
+// birefnet_segment — kind escalation >1536 px (reference
+// segmentation.cpp:222-225), canvas pack, the exported BiRefNet program
+// (resample + ImageNet normalise + forward + sigmoid->u8 on device), then
+// the native box-filter resize back to the original extent.
+dlimg_Result pjrt_segment_objects(dlimg_ImageView const* img,
+                                  uint8_t* out_mask, dlimg_Environment env) {
+    auto* be = env->pjrt;
+    auto& progs = dlimg_pjrt::birefnet(be);
+    if (progs.empty()) {
+        set_error("segment_objects: the serving bundle has no BiRefNet "
+                  "program (re-run tools/aot_export.py --program serving "
+                  "with --birefnet general:1024)");
+        return dlimg_error;
+    }
+    int w = img->width, h = img->height;
+    int side = std::max(w, h);
+    const char* want_kind = side > 1536 ? "high_res" : "general";
+    // Smallest fitting bucket of the preferred kind; any-kind fallback
+    // mirrors the preference-ordered bundle fallback in
+    // runtime/birefnet.py BIREFNET_BUNDLES.
+    const dlimg_pjrt::BirefProgram* best = nullptr;
+    for (auto& p : progs)
+        if (p.kind == want_kind && side <= p.bucket &&
+            (!best || p.bucket < best->bucket))
+            best = &p;
+    if (!best)
+        for (auto& p : progs)
+            if (side <= p.bucket && (!best || p.bucket < best->bucket))
+                best = &p;
+    if (!best) {
+        set_error("segment_objects: image " + std::to_string(w) + "x" +
+                  std::to_string(h) + " exceeds every exported BiRefNet "
+                  "bucket");
+        return dlimg_error;
+    }
+    int c, m[3];
+    rgb_map(img->channels, &c, m);
+    int64_t stride = img->stride ? img->stride : int64_t(w) * c;
+    std::vector<uint8_t> canvas(size_t(best->bucket) * best->bucket * 3, 0);
+    dlimg_hostops_pack_rgb(img->pixels, stride, h, w, c, m[0], m[1], m[2],
+                           canvas.data(), int64_t(best->bucket) * 3, 0);
+    int32_t sizes[2] = {h, w};
+    std::string name = "serve_birefnet_" + best->kind + "_" +
+                       std::to_string(best->bucket);
+    std::vector<dlimg_pjrt::Arg> args(2);
+    args[0].host = canvas.data();
+    args[0].dims = {best->bucket, best->bucket, 3};
+    args[0].dtype = "uint8";
+    args[1].host = sizes;
+    args[1].dims = {2};
+    args[1].dtype = "int32";
+    std::vector<dlimg_pjrt::Buf*> outs;
+    std::string err;
+    if (!dlimg_pjrt::run(be, name, args, &outs, &err)) {
+        set_error(err);
+        return dlimg_error;
+    }
+    int S = best->resolution;
+    std::vector<uint8_t> model_mask(size_t(S) * S);
+    bool ok = dlimg_pjrt::fetch(be, outs[0], model_mask.data(),
+                                model_mask.size(), &err);
+    for (auto* o : outs) dlimg_pjrt::release(be, o);
+    if (!ok) {
+        set_error(err);
+        return dlimg_error;
+    }
+    dlimg_hostops_resize_mask_box(model_mask.data(), S, S, S, out_mask, h, w,
+                                  w);
+    return dlimg_success;
+}
 
 // ---------------------------------------------------------------------------
 // API entries
 // ---------------------------------------------------------------------------
 
 int api_is_backend_supported(dlimg_Backend backend) {
+    if (std::getenv("DLIMG_PJRT_BUNDLE") && backend == dlimg_gpu)
+        return 1;  // serving bundles are exported for the accelerator
     if (!PyRuntime::get().ensure()) return 0;
     Gil gil;
     PyObject* r = bridge_call("backend_supported",
@@ -147,6 +404,21 @@ int api_is_backend_supported(dlimg_Backend backend) {
 
 dlimg_Result api_create_environment(dlimg_Environment* out,
                                     dlimg_Options const* opts) {
+    if (const char* bundle = std::getenv("DLIMG_PJRT_BUNDLE")) {
+        // Native serving mode: the whole SAM hot path runs through the
+        // PJRT C API; Python stays uninitialised unless segment_objects
+        // or a codec fallback needs it.
+        std::string err;
+        dlimg_pjrt::Backend* be = dlimg_pjrt::create(bundle, &err);
+        if (!be) {
+            set_error("PJRT serving bundle: " + err);
+            return dlimg_error;
+        }
+        auto* env = new dlimg_Environment_{};
+        env->pjrt = be;
+        *out = env;
+        return dlimg_success;
+    }
     if (!PyRuntime::get().ensure()) return dlimg_error;
     Gil gil;
     PyObject* r = bridge_call(
@@ -154,34 +426,44 @@ dlimg_Result api_create_environment(dlimg_Environment* out,
         Py_BuildValue("(is)", int(opts->backend),
                       opts->model_directory ? opts->model_directory : "models"));
     if (!r) return dlimg_error;
-    *out = new dlimg_Environment_{r};
+    auto* env = new dlimg_Environment_{};
+    env->obj = r;
+    *out = env;
     return dlimg_success;
 }
 
 void api_destroy_environment(dlimg_Environment env) {
     if (!env) return;
-    {
+    if (env->obj) {
         Gil gil;
         Py_XDECREF(env->obj);
     }
+    dlimg_pjrt::destroy(env->pjrt);
     delete env;
 }
 
 dlimg_Result api_process(dlimg_Segmentation* out, dlimg_ImageView const* img,
                          dlimg_Environment env) {
+    if (env->pjrt) return pjrt_process(out, img, env);
     Gil gil;
     PyObject* r = bridge_call(
         "process",
         Py_BuildValue("(OKiiii)", env->obj, (unsigned long long)(uintptr_t)img->pixels,
                       img->width, img->height, img->channels, img->stride));
     if (!r) return dlimg_error;
-    *out = new dlimg_Segmentation_{r, img->width, img->height};
+    auto* seg = new dlimg_Segmentation_{};
+    seg->obj = r;
+    seg->width = img->width;
+    seg->height = img->height;
+    *out = seg;
     return dlimg_success;
 }
 
 dlimg_Result api_get_mask(dlimg_Segmentation seg, int const* point,
                           int const* region, uint8_t** out_masks,
                           float* out_accuracies) {
+    if (seg->pjrt)
+        return pjrt_get_mask(seg, point, region, out_masks, out_accuracies);
     Gil gil;
     PyObject* py_point = point ? Py_BuildValue("(ii)", point[0], point[1])
                                : Py_NewRef(Py_None);
@@ -209,15 +491,17 @@ void api_get_extent(dlimg_Segmentation seg, int* out_extent) {
 
 void api_destroy_segmentation(dlimg_Segmentation seg) {
     if (!seg) return;
-    {
+    if (seg->obj) {
         Gil gil;
         Py_XDECREF(seg->obj);
     }
+    if (seg->emb) dlimg_pjrt::release(seg->pjrt, seg->emb);
     delete seg;
 }
 
 dlimg_Result api_segment_objects(dlimg_ImageView const* img, uint8_t* out_mask,
                                  dlimg_Environment env) {
+    if (env->pjrt) return pjrt_segment_objects(img, out_mask, env);
     Gil gil;
     PyObject* r = bridge_call(
         "run_segment_objects",

@@ -18,6 +18,7 @@
 // third of the whole pack budget).
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -201,5 +202,94 @@ DLIMG_HOSTOPS_API void dlimg_hostops_pack_rgb(
   RowPool::instance().parallel_rows(h, threads, rows);
 }
 
+namespace {
+
+// Per-axis box-filter taps, mirroring image/resize.py filter_matrix
+// (kernel "box", support 0.5): output centre i maps to (i+0.5)/scale-0.5,
+// the kernel is stretched by min(scale, 1) when minifying, each row is
+// normalised, and out-of-range taps clamp to the edge.
+struct AxisTaps {
+  int width = 0;
+  std::vector<int> lo;    // first tap per output index
+  std::vector<double> w;  // (n_out, width) row-major, normalised
+};
+
+AxisTaps box_taps(int n_in, int n_out) {
+  AxisTaps t;
+  double scale = double(n_out) / double(n_in);
+  double kscale = scale < 1.0 ? scale : 1.0;
+  double radius = 0.5 / kscale;
+  t.lo.resize(n_out);
+  std::vector<double> centers(n_out);
+  for (int i = 0; i < n_out; ++i) {
+    centers[i] = (i + 0.5) / scale - 0.5;
+    t.lo[i] = int(std::floor(centers[i] - radius));
+    int hi = int(std::ceil(centers[i] + radius));
+    if (hi - t.lo[i] + 1 > t.width) t.width = hi - t.lo[i] + 1;
+  }
+  t.w.assign(size_t(n_out) * t.width, 0.0);
+  for (int i = 0; i < n_out; ++i) {
+    double sum = 0.0;
+    for (int k = 0; k < t.width; ++k) {
+      double x = (double(t.lo[i] + k) - centers[i]) * kscale;
+      double wv = (x >= -0.5 && x < 0.5) ? 1.0 : 0.0;
+      t.w[size_t(i) * t.width + k] = wv;
+      sum += wv;
+    }
+    double denom = sum > 1e-12 ? sum : 1e-12;
+    for (int k = 0; k < t.width; ++k) t.w[size_t(i) * t.width + k] /= denom;
+  }
+  return t;
+}
+
+inline int clampi(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+}  // namespace
+
+// Single-channel box-filter resize (linear colourspace), the semantics of
+// image/resize.py resize_mask / the reference's mask path (image.cpp:53-62):
+// separable H-then-W double-precision resample of src/255, then
+// clip(round-half-even(x*255)).  Agrees with the Python numpy path to
+// within one grey level, differing only where the exact result is a .5
+// tie (summation-order ulps flip round-half-even; ~0.1% of pixels on
+// binary inputs — tests/test_ops.py bounds it).
+DLIMG_HOSTOPS_API void dlimg_hostops_resize_mask_box(
+    const uint8_t* src, int src_h, int src_w, int64_t src_stride,
+    uint8_t* dst, int dst_h, int dst_w, int64_t dst_stride) {
+  AxisTaps th = box_taps(src_h, dst_h);
+  AxisTaps tw = box_taps(src_w, dst_w);
+  int64_t out_bytes = int64_t(dst_h) * dst_w;
+  int threads = int(out_bytes >> 19) + 1;
+  if (threads > 8) threads = 8;
+  auto rows = [&](int lo_row, int hi_row) {
+    std::vector<double> tmp(src_w);
+    for (int i = lo_row; i < hi_row; ++i) {
+      // H pass: blend source rows into tmp.
+      for (int x = 0; x < src_w; ++x) tmp[x] = 0.0;
+      for (int k = 0; k < th.width; ++k) {
+        double wv = th.w[size_t(i) * th.width + k];
+        if (wv == 0.0) continue;
+        const uint8_t* s =
+            src + int64_t(clampi(th.lo[i] + k, 0, src_h - 1)) * src_stride;
+        for (int x = 0; x < src_w; ++x) tmp[x] += wv * (s[x] / 255.0);
+      }
+      // W pass + u8 store.
+      uint8_t* d = dst + int64_t(i) * dst_stride;
+      for (int j = 0; j < dst_w; ++j) {
+        double acc = 0.0;
+        for (int k = 0; k < tw.width; ++k) {
+          double wv = tw.w[size_t(j) * tw.width + k];
+          if (wv != 0.0) acc += wv * tmp[clampi(tw.lo[j] + k, 0, src_w - 1)];
+        }
+        double v = std::nearbyint(acc * 255.0);  // round-half-even = np.round
+        d[j] = uint8_t(v < 0.0 ? 0.0 : (v > 255.0 ? 255.0 : v));
+      }
+    }
+  };
+  RowPool::instance().parallel_rows(dst_h, threads, rows);
+}
+
 // ABI version tag so the Python loader can refuse a stale cached build.
-DLIMG_HOSTOPS_API int dlimg_hostops_abi_version() { return 1; }
+DLIMG_HOSTOPS_API int dlimg_hostops_abi_version() { return 2; }

@@ -1,0 +1,148 @@
+// Native serving-mode end-to-end: the public C++ API (dlimgedit.hpp) backed
+// by the PJRT C API — no Python in the process (asserted) — computing a
+// real mask and comparing it against the Python pipeline's golden.
+//
+// Orchestrated by tools/serving_check.py:
+//   1. Python exports the serving bundle + computes the golden mask for a
+//      fixed synthetic image (writes image.raw / golden.raw / meta.txt).
+//   2. This binary runs with DLIMG_PJRT_BUNDLE + DLIMG_SERVING_CHECK_DIR
+//      set, processes the same image through Environment/Segmentation,
+//      and requires pixel-exact agreement with the golden.
+// Exits 77 (ctest SKIP) when the env vars are unset.
+
+#include <dlfcn.h>
+
+#include <chrono>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <string>
+#include <vector>
+
+#include <dlimgedit/dlimgedit.hpp>
+
+namespace {
+
+std::string read_file(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) {
+    std::fprintf(stderr, "FATAL: cannot read %s\n", path.c_str());
+    std::exit(1);
+  }
+  std::string s((std::istreambuf_iterator<char>(f)),
+                std::istreambuf_iterator<char>());
+  return s;
+}
+
+}  // namespace
+
+int main() {
+  std::setbuf(stdout, nullptr);
+  const char* dir_c = std::getenv("DLIMG_SERVING_CHECK_DIR");
+  if (dir_c == nullptr || std::getenv("DLIMG_PJRT_BUNDLE") == nullptr) {
+    std::fprintf(stderr,
+                 "SKIP: DLIMG_SERVING_CHECK_DIR / DLIMG_PJRT_BUNDLE unset "
+                 "(run tools/serving_check.py)\n");
+    return 77;
+  }
+  std::string dir = dir_c;
+
+  // meta.txt: "width height channels point_x point_y"
+  int w, h, c, px, py;
+  {
+    std::ifstream meta(dir + "/meta.txt");
+    if (!(meta >> w >> h >> c >> px >> py)) {
+      std::fprintf(stderr, "FATAL: bad meta.txt\n");
+      return 1;
+    }
+  }
+  std::string pixels = read_file(dir + "/image.raw");
+  std::string golden = read_file(dir + "/golden.raw");
+
+  dlimg::Options opts;
+  opts.backend = dlimg::Backend::gpu;
+  dlimg::Environment env(opts);
+
+  dlimg::ImageView view;
+  view.extent = {w, h};
+  view.channels = c == 3 ? dlimg::Channels::rgb : dlimg::Channels::rgba;
+  view.pixels = reinterpret_cast<const uint8_t*>(pixels.data());
+  view.stride = w * c;
+
+  auto t0 = std::chrono::steady_clock::now();
+  auto seg = dlimg::Segmentation::process(view, env);
+  auto t1 = std::chrono::steady_clock::now();
+  dlimg::Image mask = seg.compute_mask(dlimg::Point{px, py});
+  auto t2 = std::chrono::steady_clock::now();
+  std::printf("process %.1f ms, compute_mask %.1f ms (through the tunnel)\n",
+              std::chrono::duration<double, std::milli>(t1 - t0).count(),
+              std::chrono::duration<double, std::milli>(t2 - t1).count());
+
+  if (mask.extent().width != w || mask.extent().height != h) {
+    std::fprintf(stderr, "FATAL: mask extent mismatch\n");
+    return 1;
+  }
+  size_t n = size_t(w) * h;
+  if (golden.size() != n) {
+    std::fprintf(stderr, "FATAL: golden size %zu != %zu\n", golden.size(), n);
+    return 1;
+  }
+  size_t diff = 0;
+  for (size_t i = 0; i < n; ++i)
+    diff += uint8_t(golden[i]) != mask.pixels()[i];
+  std::printf("mask vs Python golden: %zu/%zu pixels differ\n", diff, n);
+  if (diff != 0) {
+    std::fprintf(stderr, "FATAL: native serving mask differs from golden\n");
+    return 1;
+  }
+  // Optional BiRefNet leg (serving_check.py --birefnet): segment_objects
+  // through the PJRT path vs the Python pipeline's golden. The device
+  // program is the identical executable (bit-exact); the host box resize
+  // may differ by one grey level at .5 ties (hostops.cpp), so bound the
+  // deviation instead of requiring equality.
+  std::ifstream biref_golden(dir + "/golden_objects.raw", std::ios::binary);
+  if (biref_golden) {
+    std::string golden_obj((std::istreambuf_iterator<char>(biref_golden)),
+                           std::istreambuf_iterator<char>());
+    if (golden_obj.size() != n) {
+      std::fprintf(stderr, "FATAL: golden_objects size %zu != %zu\n",
+                   golden_obj.size(), n);
+      return 1;
+    }
+    std::vector<uint8_t> obj_mask(n);
+    auto t3 = std::chrono::steady_clock::now();
+    dlimg::segment_objects(view, obj_mask.data(), env);
+    auto t4 = std::chrono::steady_clock::now();
+    std::printf("segment_objects %.1f ms (through the tunnel)\n",
+                std::chrono::duration<double, std::milli>(t4 - t3).count());
+    int max_diff = 0;
+    size_t n_diff = 0;
+    for (size_t i = 0; i < n; ++i) {
+      int d = int(obj_mask[i]) - int(uint8_t(golden_obj[i]));
+      if (d < 0) d = -d;
+      if (d > max_diff) max_diff = d;
+      n_diff += d != 0;
+    }
+    std::printf("segment_objects vs Python golden: %zu/%zu pixels differ, "
+                "max %d\n", n_diff, n, max_diff);
+    if (max_diff > 1 || n_diff > n / 100) {
+      std::fprintf(stderr, "FATAL: native segment_objects deviates beyond "
+                           "resize .5-ties\n");
+      return 1;
+    }
+  }
+
+  // The library links libpython for the fallback bridge, but the serving
+  // path must never have INITIALISED the interpreter (same assertion as
+  // test_codecs.cpp).
+  using IsInitFn = int (*)();
+  auto is_init =
+      reinterpret_cast<IsInitFn>(dlsym(RTLD_DEFAULT, "Py_IsInitialized"));
+  if (is_init != nullptr && is_init() != 0) {
+    std::fprintf(stderr,
+                 "FATAL: Python was initialised on the serving hot path\n");
+    return 1;
+  }
+  std::printf("PASS: native serving mask pixel-exact, Python-free hot path\n");
+  return 0;
+}

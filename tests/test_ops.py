@@ -168,6 +168,39 @@ def test_hostops_pack_matches_numpy():
         np.testing.assert_array_equal(got[:h, :w], want[:h, :w])
 
 
+def test_hostops_resize_mask_box_matches_python():
+    """Native single-channel box resize (hostops.cpp, used by the PJRT
+    serving shim's segment_objects) == the Python resize_mask path, down-
+    and up-scaling, strided rows, grayscale and binary inputs."""
+    import pytest
+
+    from dlimgedit_tpu.image.resize import resize_mask
+    from dlimgedit_tpu.types import ImageView as IV
+    from dlimgedit_tpu.utils import hostops
+
+    if hostops.load() is None:
+        pytest.skip("native hostops unavailable (no toolchain)")
+    rng = np.random.default_rng(5)
+    for (sh, sw), (dh, dw) in (((64, 64), (37, 53)), ((33, 47), (128, 96)),
+                               ((128, 128), (128, 128)), ((1024, 1024),
+                                                          (640, 480))):
+        for binary in (False, True):
+            src = rng.integers(0, 256, (sh, sw), dtype=np.uint8)
+            if binary:
+                src = (src > 127).astype(np.uint8) * 255
+            want = resize_mask(IV.from_array(src, Channels.mask),
+                               Extent(dw, dh))
+            got = np.empty((dh, dw), np.uint8)
+            assert hostops.resize_mask_box(src, got)
+            # Both paths resample in float64; they may disagree by one grey
+            # level where the exact result is a .5 tie (round-half-even on
+            # values an ulp apart — numpy's einsum accumulation order vs the
+            # C loop). Anything beyond a tie-flip is a real bug.
+            diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+            assert diff.max() <= 1, f"max diff {diff.max()} at {sh}x{sw}"
+            assert (diff != 0).mean() < 0.005
+
+
 def test_staging_canvas_stale_bytes_are_masked():
     """A reused staging canvas carries stale bytes outside [:h, :w]; the
     device consumers must produce identical results to a zeroed canvas

@@ -67,7 +67,16 @@ def _plugin_so() -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
-    ap.add_argument("--program", default="smoke", choices=["smoke", "decode"])
+    ap.add_argument("--program", default="smoke",
+                    choices=["smoke", "decode", "serving"])
+    ap.add_argument("--variant", default="mobile_sam",
+                    help="serving: SAM encoder variant")
+    ap.add_argument("--buckets", default="1024",
+                    help="serving: comma list of canvas buckets to export")
+    ap.add_argument("--birefnet", default="",
+                    help="serving: comma list of kind:bucket BiRefNet "
+                         "programs to also export (e.g. general:1024); "
+                         "enables segment_objects in the native shim")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -116,26 +125,146 @@ def main() -> int:
         }
         with open(os.path.join(args.out, f"{name}.spec.json"), "w") as f:
             json.dump(spec, f, indent=1)
+        # C-parsable spec: "<in|out> <dtype> <d0,d1,...>" per line.
+        with open(os.path.join(args.out, f"{name}.spec.txt"), "w") as f:
+            for x in example_inputs:
+                a = np.asarray(x)
+                f.write(f"in {a.dtype} {','.join(map(str, a.shape))}\n")
+            for o in outs:
+                f.write(f"out {o.dtype} {','.join(map(str, o.shape))}\n")
         for i, x in enumerate(example_inputs):
             np.save(os.path.join(args.out, f"{name}.in{i}.npy"),
-                    np.asarray(x))
+                    np.ascontiguousarray(np.asarray(x)))
         for i, o in enumerate(outs):
             np.save(os.path.join(args.out, f"{name}.out{i}.npy"), o)
         print(f"exported {name}: {len(blob)} bytes, "
               f"{len(example_inputs)} in / {len(outs)} out", flush=True)
+        return outs
 
     if args.program == "smoke":
         export("smoke",
                lambda a, b: (jnp.dot(a, b) + 1.0).astype(jnp.float32),
                [rng.standard_normal((128, 128)).astype(np.float32),
                 rng.standard_normal((128, 128)).astype(np.float32)])
+    elif args.program == "serving":
+        # The full native-serving bundle (SURVEY §7.5): per canvas bucket,
+        # the embed program + single-mask and 3-mask decode programs.
+        # CRITICAL for parity: lower the SAME jitted callables the Python
+        # runtime executes, with the params pytree as ARGUMENTS — a
+        # weights-baked-as-constants re-trace compiles to a different
+        # binary whose bf16 boundary pixels flip vs the Python pipeline
+        # (measured 0.6% of mask pixels). Weight leaves are written as
+        # .npy files the C backend uploads once at startup
+        # (native/src/pjrt_backend.cpp); only the trailing dynamic args
+        # (canvas/emb/points/labels/sizes) are fed per call.
+        import dlimgedit_tpu as dl
+        from dlimgedit_tpu.runtime.segmentation import (_build_decode_fn,
+                                                        _build_embed_fn)
+
+        env = dl.Environment(dl.Options(
+            backend=dl.Backend.gpu, allow_random_weights=True,
+            compute_dtype="bfloat16",
+            # Persist across runs: first 1024-bucket compiles through the
+            # tunnel take minutes; re-exports then hit the cache.
+            compilation_cache_dir=os.environ.get(
+                "DLIMG_COMPILATION_CACHE",
+                os.path.expanduser("~/.cache/dlimgedit_tpu/xla"))))
+        bundle = env.sam_model(args.variant)
+        buckets = [int(b) for b in args.buckets.split(",")]
+
+        def export_served(name, jitted, tree_args, n_dynamic):
+            placed = jax.device_put(tree_args, dev)
+            comp = jitted.lower(*placed).compile()
+            blob = comp._executable.xla_executable.serialize()
+            with open(os.path.join(args.out, f"{name}.pjrt"), "wb") as f:
+                f.write(blob)
+            flat = jax.tree_util.tree_leaves(placed)
+            kept = sorted(getattr(comp._executable, "_kept_var_idx",
+                                  range(len(flat))))
+            n_weights = len(flat) - n_dynamic
+            outs = comp(*placed)
+            if not isinstance(outs, (tuple, list)):
+                outs = (outs,)
+            outs = [np.asarray(o) for o in outs]
+            with open(os.path.join(args.out, f"{name}.spec.txt"), "w") as f:
+                for j, i in enumerate(kept):
+                    # ascontiguousarray is LOAD-BEARING: np.asarray of a
+                    # device array can come back Fortran-ordered (the host
+                    # copy mirrors the device layout for some matrix
+                    # shapes), np.save preserves that, and the C loader
+                    # (pjrt_backend.cpp) streams raw bytes as C-order —
+                    # transposed weights, garbage masks (found the hard
+                    # way: 60% of mask pixels off).
+                    a = np.ascontiguousarray(np.asarray(flat[i]))
+                    kind = "w" if i < n_weights else "d"
+                    f.write(f"in{kind} {a.dtype} "
+                            f"{','.join(map(str, a.shape))}\n")
+                    # Weights: uploaded once by the C backend at startup.
+                    # Dynamic: example values for the per-program bit-exact
+                    # validator (test_serving_programs).
+                    np.save(os.path.join(args.out, f"{name}.in{j}.npy"), a)
+                for i, o in enumerate(outs):
+                    o = np.ascontiguousarray(o)
+                    f.write(f"out {o.dtype} "
+                            f"{','.join(map(str, o.shape))}\n")
+                    np.save(os.path.join(args.out, f"{name}.out{i}.npy"), o)
+            print(f"exported {name}: {len(blob)} bytes, "
+                  f"{len(kept)} kept args ({n_dynamic} dynamic), "
+                  f"{len(outs)} out", flush=True)
+            return outs
+
+        for bucket in buckets:
+            embed = _build_embed_fn(bundle)
+            canvas = rng.integers(0, 256, (bucket, bucket, 3),
+                                  dtype=np.uint8)
+            side = min(bucket, bundle.cfg.image_size)
+            sizes = np.array([bucket, bucket, side, side], np.int32)
+            emb, = export_served(f"serve_embed_{args.variant}_{bucket}",
+                                 embed, (bundle.params, canvas, sizes), 2)
+            pts = np.array([[[bucket / 2, bucket / 2], [0.0, 0.0]]],
+                           np.float32)
+            lbl = np.array([[1.0, -1.0]], np.float32)
+            dsizes = np.array([bucket, bucket, side, side], np.int32)
+            dec = _build_decode_fn(bundle, bucket, False, False)
+            export_served(f"serve_decode_{args.variant}_{bucket}", dec,
+                          (bundle.params, emb, pts, lbl, dsizes), 4)
+            dec3 = _build_decode_fn(bundle, bucket, True, False)
+            export_served(f"serve_decode3_{args.variant}_{bucket}", dec3,
+                          (bundle.params, emb, pts, lbl, dsizes), 4)
+        # Optional BiRefNet programs -> native segment_objects
+        # (runtime/birefnet.py birefnet_segment without the Python host).
+        biref_specs = []
+        for spec_str in filter(None, args.birefnet.split(",")):
+            kind, bucket_s = spec_str.split(":")
+            bucket = int(bucket_s)
+            from dlimgedit_tpu.runtime.birefnet import _build_birefnet_fn
+
+            bbundle = env.birefnet_model(kind)
+            run = _build_birefnet_fn(bbundle, bucket)
+            canvas = rng.integers(0, 256, (bucket, bucket, 3),
+                                  dtype=np.uint8)
+            bsizes = np.array([bucket, bucket], np.int32)
+            export_served(f"serve_birefnet_{kind}_{bucket}", run,
+                          (bbundle.params, canvas, bsizes), 2)
+            biref_specs.append(f"{kind}:{bucket}:{bbundle.resolution}")
+        with open(os.path.join(args.out, "serving.txt"), "w") as f:
+            f.write(f"variant\t{args.variant}\n")
+            f.write(f"image_size\t{bundle.cfg.image_size}\n")
+            f.write(f"buckets\t{','.join(map(str, buckets))}\n")
+            if biref_specs:
+                f.write(f"birefnet\t{','.join(biref_specs)}\n")
     else:
         import dlimgedit_tpu as dl
         from dlimgedit_tpu.runtime.segmentation import _build_decode_fn
 
         env = dl.Environment(dl.Options(
             backend=dl.Backend.gpu, allow_random_weights=True,
-            compute_dtype="bfloat16"))
+            compute_dtype="bfloat16",
+            # Persist across runs: first 1024-bucket compiles through the
+            # tunnel take minutes; re-exports then hit the cache.
+            compilation_cache_dir=os.environ.get(
+                "DLIMG_COMPILATION_CACHE",
+                os.path.expanduser("~/.cache/dlimgedit_tpu/xla"))))
         bundle = env.sam_model("mobile_sam")
         decode = _build_decode_fn(bundle, 1024, False, False)
         emb = (rng.standard_normal((1, 64, 64, 256)) * 0.1).astype(np.float32)

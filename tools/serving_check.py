@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""End-to-end check of the native PJRT serving mode.
+
+1. Exports the serving bundle (tools/aot_export.py --program serving) if
+   the target dir has none.
+2. Computes the Python pipeline's mask for a fixed synthetic image
+   (Segmentation.process + compute_mask) and writes image/golden/meta.
+3. Runs native/build/test_serving in a FRESH process with
+   DLIMG_PJRT_BUNDLE set: the public C++ API computes the same mask
+   through the PJRT C API (no Python initialised) and requires
+   pixel-exact agreement.
+
+Run on the TPU-attached host:
+    python tools/serving_check.py --dir /tmp/dlimg_serving
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/dlimg_serving")
+    ap.add_argument("--variant", default="mobile_sam")
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--birefnet", default="",
+                    help="also export + check segment_objects (e.g. "
+                         "general:1024)")
+    args = ap.parse_args()
+    os.makedirs(args.dir, exist_ok=True)
+
+    bucket = args.size
+    marker = os.path.join(
+        args.dir, f"serve_decode_{args.variant}_{bucket}.pjrt")
+    if not os.path.exists(marker):
+        cmd = [sys.executable, os.path.join(REPO, "tools", "aot_export.py"),
+               "--out", args.dir, "--program", "serving",
+               "--variant", args.variant, "--buckets", str(bucket)]
+        if args.birefnet:
+            cmd += ["--birefnet", args.birefnet]
+        r = subprocess.run(cmd)
+        if r.returncode != 0:
+            return r.returncode
+
+    # Golden in its OWN subprocess: it holds a live TPU client, and the
+    # native binary creates another — never run two TPU clients at once
+    # (CLAUDE.md), so the golden process must have exited first.
+    golden_code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+import numpy as np
+import dlimgedit_tpu as dl
+rng = np.random.default_rng(0)
+size = {args.size}
+img_px = rng.integers(0, 256, (size, size, 4), dtype=np.uint8)
+img = dl.Image(dl.Extent(size, size), dl.Channels.rgba, img_px)
+import os
+env = dl.Environment(dl.Options(
+    backend=dl.Backend.gpu, allow_random_weights=True,
+    compute_dtype="bfloat16",
+    compilation_cache_dir=os.environ.get(
+        "DLIMG_COMPILATION_CACHE",
+        os.path.expanduser("~/.cache/dlimgedit_tpu/xla"))))
+seg = dl.Segmentation.process(img, env, variant={args.variant!r})
+point = (size // 2, size // 2)
+mask = seg.compute_mask(dl.Point(*point))
+open({args.dir!r} + "/image.raw", "wb").write(img_px.tobytes())
+open({args.dir!r} + "/golden.raw", "wb").write(mask.pixels.tobytes())
+open({args.dir!r} + "/meta.txt", "w").write(
+    f"{{size}} {{size}} 4 {{point[0]}} {{point[1]}}\\n")
+if {bool(args.birefnet)!r}:
+    obj = dl.segment_objects(img, env)
+    open({args.dir!r} + "/golden_objects.raw", "wb").write(
+        obj.pixels.tobytes())
+print("golden written")
+"""
+    r = subprocess.run([sys.executable, "-c", golden_code])
+    if r.returncode != 0:
+        return r.returncode
+    print("running native test_serving", flush=True)
+
+    env_vars = dict(os.environ)
+    env_vars["DLIMG_PJRT_BUNDLE"] = args.dir
+    env_vars["DLIMG_SERVING_CHECK_DIR"] = args.dir
+    r = subprocess.run([os.path.join(REPO, "native", "build",
+                                     "test_serving")], env=env_vars)
+    return r.returncode
+
+
+if __name__ == "__main__":
+    sys.exit(main())
