@@ -172,6 +172,36 @@ def _attention_grouped(q, k, v, rh_g, rw_g, *, grid_h: int, grid_w: int,
     )(q, k, v, bhw)
 
 
+def _selector_matrix(grid_h: int, grid_w: int, N: int, dtype):
+    """Combined one-hot selector: row r < gh selects tokens with y == r,
+    row gh + r selects tokens with x == r. Arithmetic blend instead of a
+    boolean where — Mosaic cannot lower odd-shaped i1 vector selects."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (grid_h + grid_w, N), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (grid_h + grid_w, N), 1)
+    is_h = (r < grid_h).astype(dtype)
+    m_h = (j // grid_w == r).astype(dtype)
+    m_w = (j % grid_w == r - grid_h).astype(dtype)
+    return is_h * m_h + (1.0 - is_h) * m_w
+
+
+def _attend_one_head(qn, k, v, bh, sel, scale, prec, out_dtype):
+    """Exact-softmax attention for one head tile; bh = [q.rh | q.rw]."""
+    s = jax.lax.dot_general(qn, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec) * scale
+    s = s + jax.lax.dot_general(bh.astype(qn.dtype), sel,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+    return o.astype(out_dtype)
+
+
 def _head_loop_kernel(q_ref, k_ref, v_ref, bhw_ref, o_ref, *, grid_h: int,
                       grid_w: int, scale: float):
     """One program = one window, ALL heads looped in-kernel.
@@ -186,31 +216,30 @@ def _head_loop_kernel(q_ref, k_ref, v_ref, bhw_ref, o_ref, *, grid_h: int,
     dtype = q_ref.dtype
     prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    r = jax.lax.broadcasted_iota(jnp.int32, (grid_h + grid_w, N), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (grid_h + grid_w, N), 1)
-    is_h = (r < grid_h).astype(dtype)
-    m_h = (j // grid_w == r).astype(dtype)
-    m_w = (j % grid_w == r - grid_h).astype(dtype)
-    sel = is_h * m_h + (1.0 - is_h) * m_w
+    sel = _selector_matrix(grid_h, grid_w, N, dtype)
     for h in range(nh):
-        qn = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        s = jax.lax.dot_general(qn, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec) * scale
-        s = s + jax.lax.dot_general(bhw_ref[0, h].astype(dtype), sel,
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=prec)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(p.astype(v.dtype), v,
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
-        o_ref[0, h] = o.astype(o_ref.dtype)
+        o_ref[0, h] = _attend_one_head(q_ref[0, h], k_ref[0, h], v_ref[0, h],
+                                       bhw_ref[0, h], sel, scale, prec,
+                                       o_ref.dtype)
+
+
+def _head_loop_kernel_qkv(q_ref, k_ref, v_ref, bhw_ref, o_ref, *,
+                          grid_h: int, grid_w: int, scale: float):
+    """_head_loop_kernel over a COMBINED qkv operand: q/k/v_ref are three
+    (1, 1, nh, N, hd) BlockSpec slices of the same (W, 3, nh, N, hd) array
+    (component picked by the index map), so the caller never materialises
+    a 3-way split — measured worth ~2 ms of ViT-H @1024 vs slicing q/k/v
+    into separate arrays on the host side of the call."""
+    nh = q_ref.shape[2]
+    N = k_ref.shape[3]
+    dtype = q_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    sel = _selector_matrix(grid_h, grid_w, N, dtype)
+    for h in range(nh):
+        o_ref[0, h] = _attend_one_head(q_ref[0, 0, h], k_ref[0, 0, h],
+                                       v_ref[0, 0, h], bhw_ref[0, h], sel,
+                                       scale, prec, o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_h", "grid_w", "heads",
@@ -251,6 +280,69 @@ def _attention_head_fused(q, k, v, rh_g, rw_g, *, grid_h: int, grid_w: int,
         interpret=interpret,
     )(q4, k4, v4, b4)
     return out.reshape(G, N, hd)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_h", "grid_w",
+                                              "interpret", "bias_mode"))
+def windowed_attention_qkv(qkv, rh, rw, *, grid_h: int, grid_w: int,
+                           interpret: bool = False,
+                           bias_mode: str = "expand") -> jnp.ndarray:
+    """Head-fused windowed attention over a COMBINED qkv tensor.
+
+    qkv: (W, 3, nh, N, hd) window-major; rh/rw raw (2*g-1, hd) or gathered
+    (g, g, hd) tables. Returns (W, nh, N, hd). The kernel receives q/k/v
+    as three BlockSpec slices of the same operand, so no separate q/k/v
+    arrays are materialised in HBM.
+
+    TRIED AND REJECTED for the ViT windowed layers (round 3, on-chip):
+    restructuring _vit_attn_branch to project qkv on the UNPADDED token
+    grid (4096 vs 4900 tokens at ws=14, bias-valued pad via fused where)
+    and feed this kernel measured ViT-H 58.9 ms and ViT-L 35.0 vs the
+    partition-first baseline's 54.2 / 32.8 — the 8D relayout into
+    (W, 3, nh, N, hd) does not fuse with the qkv matmul epilogue the way
+    the per-window matmul + (2,0,3,1,4) transpose chain does, and the
+    theoretical 16% matmul saving drowns in the extra relayout pass.
+    (An intermediate variant slicing q/k/v into three arrays host-side
+    was worse still: 57.3 with +3 ms of split copies.) Kept with a unit
+    test as the measured record; the production path remains
+    _vit_attention via flash_attention_relpos."""
+    W, _, nh, N, hd = qkv.shape
+    assert N == grid_h * grid_w
+    scale = hd ** -0.5
+    prec = (jax.lax.Precision.HIGHEST if qkv.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    if rh.ndim == 2:
+        rh_g, rw_g = _gathered_tables(rh, rw, grid_h, grid_w, qkv.dtype)
+    else:
+        rh_g, rw_g = rh.astype(qkv.dtype), rw.astype(qkv.dtype)
+    # Bias halves from the q slice: a strided read fused into the einsum,
+    # not a copy.
+    q = qkv[:, 0].reshape(W * nh, N, hd)
+    bhw = _bias_halves(q, rh_g, rw_g, grid_h, grid_w, prec, mode=bias_mode)
+    b4 = bhw.reshape(W, nh, N, grid_h + grid_w)
+    kernel = functools.partial(_head_loop_kernel_qkv, grid_h=grid_h,
+                               grid_w=grid_w, scale=scale)
+
+    def spec_c(c):
+        return pl.BlockSpec((1, 1, nh, N, hd), lambda w, c=c: (w, c, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(W,),
+        in_specs=[spec_c(0), spec_c(1), spec_c(2),
+                  pl.BlockSpec((1, nh, N, grid_h + grid_w),
+                               lambda w: (w, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, nh, N, hd), lambda w: (w, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((W, nh, N, hd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * W * nh * N * N * hd,
+            bytes_accessed=4 * W * nh * N * hd * 2,
+            transcendentals=W * nh * N * N),
+        interpret=interpret,
+    )(qkv, qkv, qkv, b4)
 
 
 def flash_attention_relpos(q, k, v, rh, rw, *, grid_h: int, grid_w: int,

@@ -46,6 +46,31 @@ def test_head_fused_kernel_matches_dense(heads):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_combined_qkv_kernel_matches_dense():
+    """windowed_attention_qkv (q/k/v as BlockSpec slices of ONE combined
+    operand) == the dense reference. Kept as the measured record of the
+    round-3 unpadded-qkv experiment (see its docstring for the on-chip
+    verdict); the slicing index maps are the part worth regression-testing."""
+    from dlimgedit_tpu.ops.flash_attention import windowed_attention_qkv
+
+    windows, gh, gw, hd, heads = 3, 5, 5, 16, 2
+    N = gh * gw
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(
+        rng.standard_normal((windows, 3, heads, N, hd)).astype(np.float32))
+    rh = jnp.asarray(rng.standard_normal((gh, gh, hd)).astype(np.float32) * 0.3)
+    rw = jnp.asarray(rng.standard_normal((gw, gw, hd)).astype(np.float32) * 0.3)
+    q = qkv[:, 0].reshape(windows * heads, N, hd)
+    k = qkv[:, 1].reshape(windows * heads, N, hd)
+    v = qkv[:, 2].reshape(windows * heads, N, hd)
+    ref = attention_reference(q, k, v, rh, rw, gh, gw)
+    out = windowed_attention_qkv(qkv, rh, rw, grid_h=gh, grid_w=gw,
+                                 interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out.reshape(windows * heads, N, hd)), np.asarray(ref),
+        atol=2e-5)
+
+
 def test_kernel_row_blocking_branch_matches_dense():
     """Real-geometry branch: N > 256 selects block_q = grid_w (the global
     64x64 ViT layers take this path on TPU) — assert correctness, not just
@@ -86,6 +111,39 @@ def test_vit_flash_path_matches_dense():
         b["rel_pos_w"] = 0.3 * jax.random.normal(jax.random.PRNGKey(2),
                                                  b["rel_pos_w"].shape)
     x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    dense = sam_vit_apply(params, x, cfg)
+    flash_cfg = dataclasses.replace(cfg, use_flash_attention=True,
+                                    flash_interpret=True)
+    flash = sam_vit_apply(params, x, flash_cfg)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_vit_windowed_flash_matches_dense():
+    """The TPU windowed path (qkv on the unpadded grid, bias-valued pad
+    tokens, proj after unpartition — vit_sam._windowed_flash_attention)
+    must equal the dense partition-then-attend path, including the
+    edge-window case where pad keys must carry exactly the qkv bias."""
+    import dataclasses
+
+    from dlimgedit_tpu.models.vit_sam import (
+        SamViTConfig,
+        init_sam_vit,
+        sam_vit_apply,
+    )
+
+    cfg = SamViTConfig(img_size=48, patch_size=16, embed_dim=32, depth=2,
+                       num_heads=2, window_size=2, global_attn_indexes=(1,),
+                       neck_dim=32)  # grid 3 -> pads to 4 with ws=2
+    params = init_sam_vit(jax.random.PRNGKey(0), cfg)
+    for b in params["blocks"]:
+        b["rel_pos_h"] = 0.3 * jax.random.normal(jax.random.PRNGKey(1),
+                                                 b["rel_pos_h"].shape)
+        b["rel_pos_w"] = 0.3 * jax.random.normal(jax.random.PRNGKey(2),
+                                                 b["rel_pos_w"].shape)
+        b["qkv"]["b"] = 0.5 * jax.random.normal(jax.random.PRNGKey(4),
+                                                b["qkv"]["b"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 48, 48, 3))
     dense = sam_vit_apply(params, x, cfg)
     flash_cfg = dataclasses.replace(cfg, use_flash_attention=True,
                                     flash_interpret=True)
