@@ -80,7 +80,8 @@ def _build_batch_decode_fn(bundle, out_bucket: int):
         logits = upsample_mask_logits(masks[:, 0][None], out_bucket,
                                       cfg.image_size, sizes[0], sizes[1],
                                       sizes[2], sizes[3])
-        return pack_mask_bits(logits)[0], iou[:, 0]
+        # 1-D output: see _build_decode_fn for the layout rule.
+        return pack_mask_bits(logits)[0].reshape(-1), iou[:, 0]
 
     return jax.jit(run)
 
@@ -107,7 +108,16 @@ def _build_decode_fn(bundle, out_bucket: int, multimask: bool,
                                       sizes[0], sizes[1], sizes[2], sizes[3])
         # Bit-pack on device: the D2H payload is 8x smaller (fetch-RPC bound
         # on remote-attached TPUs); the host unpacks with np.unpackbits.
-        return pack_mask_bits(logits)[0], iou[0]
+        #
+        # The packed canvas is returned FLATTENED (1-D). The natural shape
+        # (M, bucket, bucket/8) has a minor dim < the 128-byte lane tile for
+        # buckets < 1024, and XLA's layout assignment then emits the buffer
+        # column-major; jax's fetch de-permutes, but the PJRT serving shim's
+        # raw ToHostBuffer copy does not (old plugins copy device order),
+        # which transposed every 512-bucket mask byte-for-byte. A 1-D output
+        # has exactly one dense layout, making the raw copy well-defined
+        # everywhere; hosts reshape with the bucket they already know.
+        return pack_mask_bits(logits)[0].reshape(-1), iou[0]
 
     return jax.jit(run)
 
@@ -220,6 +230,7 @@ class Segmentation:
         # bytes); unpack only the valid rows here.
         packed, iou = jax.device_get(
             decode(bundle.params, self._embedding, points, labels, sizes))
+        packed = packed.reshape(-1, bucket, bucket // 8)
         mask_u8 = unpack_mask_bits(packed[:, :self._original.height, :],
                                    bucket)
         return mask_u8, iou
@@ -282,6 +293,7 @@ class Segmentation:
             lambda: _build_batch_decode_fn(bundle, bucket))
         packed, iou = jax.device_get(
             decode(bundle.params, self._embedding, points, labels, sizes))
+        packed = packed.reshape(-1, bucket, bucket // 8)
         mask_u8 = unpack_mask_bits(packed[:, :self._original.height, :],
                                    bucket)
         return [Mask(self._to_mask_image(mask_u8[i]), float(iou[i]))

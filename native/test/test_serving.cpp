@@ -47,14 +47,16 @@ int main() {
   }
   std::string dir = dir_c;
 
-  // meta.txt: "width height channels point_x point_y"
+  // meta.txt: "width height channels point_x point_y [region x0 y0 x1 y1]"
   int w, h, c, px, py;
+  int rx0 = -1, ry0 = -1, rx1 = -1, ry1 = -1;
   {
     std::ifstream meta(dir + "/meta.txt");
     if (!(meta >> w >> h >> c >> px >> py)) {
       std::fprintf(stderr, "FATAL: bad meta.txt\n");
       return 1;
     }
+    meta >> rx0 >> ry0 >> rx1 >> ry1;  // optional
   }
   std::string pixels = read_file(dir + "/image.raw");
   std::string golden = read_file(dir + "/golden.raw");
@@ -94,6 +96,92 @@ int main() {
   if (diff != 0) {
     std::fprintf(stderr, "FATAL: native serving mask differs from golden\n");
     return 1;
+  }
+
+  // 3-mask decode (compute_masks) + confidences, same executable family.
+  {
+    std::ifstream g3(dir + "/golden3.raw", std::ios::binary);
+    std::ifstream gi(dir + "/golden3_iou.raw", std::ios::binary);
+    if (g3 && gi) {
+      std::string golden3((std::istreambuf_iterator<char>(g3)),
+                          std::istreambuf_iterator<char>());
+      float want_iou[3] = {0, 0, 0};
+      gi.read(reinterpret_cast<char*>(want_iou), sizeof(want_iou));
+      if (golden3.size() != 3 * n) {
+        std::fprintf(stderr, "FATAL: golden3 size %zu != %zu\n",
+                     golden3.size(), 3 * n);
+        return 1;
+      }
+      auto cands = seg.compute_masks(dlimg::Point{px, py});
+      size_t d3 = 0;
+      float diou = 0;
+      for (int m = 0; m < 3; ++m) {
+        const uint8_t* g = reinterpret_cast<const uint8_t*>(golden3.data()) +
+                           size_t(m) * n;
+        for (size_t i = 0; i < n; ++i)
+          d3 += g[i] != cands[m].image.pixels()[i];
+        float d = cands[m].accuracy - want_iou[m];
+        if (d < 0) d = -d;
+        if (d > diou) diou = d;
+      }
+      std::printf("compute_masks vs golden: %zu/%zu pixels differ, "
+                  "max |iou d| = %g\n", d3, 3 * n, double(diou));
+      if (d3 != 0 || diou > 1e-6f) {
+        std::fprintf(stderr, "FATAL: 3-mask decode differs from golden\n");
+        return 1;
+      }
+    }
+  }
+
+  // Region (box) prompt through the same decode program (labels 2/3).
+  if (rx1 > 0) {
+    std::ifstream gr(dir + "/golden_region.raw", std::ios::binary);
+    if (gr) {
+      std::string golden_r((std::istreambuf_iterator<char>(gr)),
+                           std::istreambuf_iterator<char>());
+      dlimg::Image rmask = seg.compute_mask(
+          dlimg::Region{dlimg::Point{rx0, ry0}, dlimg::Point{rx1, ry1}});
+      size_t dr = 0;
+      for (size_t i = 0; i < n; ++i)
+        dr += uint8_t(golden_r[i]) != rmask.pixels()[i];
+      std::printf("region mask vs golden: %zu/%zu pixels differ\n", dr, n);
+      if (dr != 0) {
+        std::fprintf(stderr, "FATAL: region mask differs from golden\n");
+        return 1;
+      }
+    }
+  }
+
+  // Secondary small non-square image: exercises smallest-fitting-bucket
+  // selection and the resize-longest-side scale/crop math in the shim.
+  {
+    std::ifstream sm(dir + "/meta_small.txt");
+    int sw, sh, sc, spx, spy;
+    if (sm >> sw >> sh >> sc >> spx >> spy) {
+      std::string spixels = read_file(dir + "/image_small.raw");
+      std::string sgolden = read_file(dir + "/golden_small.raw");
+      dlimg::ImageView sview;
+      sview.extent = {sw, sh};
+      sview.channels = sc == 3 ? dlimg::Channels::rgb : dlimg::Channels::rgba;
+      sview.pixels = reinterpret_cast<const uint8_t*>(spixels.data());
+      sview.stride = sw * sc;
+      auto sseg = dlimg::Segmentation::process(sview, env);
+      dlimg::Image smask = sseg.compute_mask(dlimg::Point{spx, spy});
+      size_t sn = size_t(sw) * sh, ds = 0;
+      if (sgolden.size() != sn) {
+        std::fprintf(stderr, "FATAL: golden_small size %zu != %zu\n",
+                     sgolden.size(), sn);
+        return 1;
+      }
+      for (size_t i = 0; i < sn; ++i)
+        ds += uint8_t(sgolden[i]) != smask.pixels()[i];
+      std::printf("small-image (%dx%d) mask vs golden: %zu/%zu pixels "
+                  "differ\n", sw, sh, ds, sn);
+      if (ds != 0) {
+        std::fprintf(stderr, "FATAL: small-image mask differs from golden\n");
+        return 1;
+      }
+    }
   }
   // Optional BiRefNet leg (serving_check.py --birefnet): segment_objects
   // through the PJRT path vs the Python pipeline's golden. The device

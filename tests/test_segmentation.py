@@ -186,3 +186,36 @@ def test_concurrent_mask_queries(env, seg):
     for i, m in results.items():
         np.testing.assert_array_equal(
             m.pixels, seg.compute_mask(Point(10 + i * 7, 10 + i * 5)).pixels)
+
+
+def test_serving_fetched_outputs_are_1d(env):
+    """Serving layout rule (BENCH_NOTES round 3): outputs the native shim
+    fetches raw through PJRT's ToHostBuffer must be 1-D — XLA assigns
+    multi-dim outputs whose minor dim is under the 128-byte lane tile a
+    transposed layout, and old plugins copy device order verbatim (every
+    512-bucket packed mask came back byte-transposed before the decode
+    builders flattened their packed output). Locks the contract on CPU via
+    eval_shape so a reshape regression can't reach the exporter."""
+    import jax
+
+    from dlimgedit_tpu.runtime.segmentation import (
+        _build_batch_decode_fn,
+        _build_decode_fn,
+    )
+
+    bundle = env.sam_model("mobile_sam")
+    g = bundle.cfg.image_size // 16
+    emb = jax.ShapeDtypeStruct((1, g, g, 256), np.float32)
+    pts = jax.ShapeDtypeStruct((1, 2, 2), np.float32)
+    lbl = jax.ShapeDtypeStruct((1, 2), np.float32)
+    sizes = jax.ShapeDtypeStruct((4,), np.int32)
+    for multimask in (False, True):
+        fn = _build_decode_fn(bundle, 128, multimask, False)
+        packed, iou = jax.eval_shape(fn, bundle.params, emb, pts, lbl, sizes)
+        assert packed.ndim == 1, packed.shape
+        assert iou.ndim == 1
+    bfn = _build_batch_decode_fn(bundle, 128)
+    pts4 = jax.ShapeDtypeStruct((4, 2, 2), np.float32)
+    lbl4 = jax.ShapeDtypeStruct((4, 2), np.float32)
+    packed, iou = jax.eval_shape(bfn, bundle.params, emb, pts4, lbl4, sizes)
+    assert packed.ndim == 1, packed.shape

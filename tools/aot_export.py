@@ -208,6 +208,34 @@ def main() -> int:
                     f.write(f"out {o.dtype} "
                             f"{','.join(map(str, o.shape))}\n")
                     np.save(os.path.join(args.out, f"{name}.out{i}.npy"), o)
+            # Outputs the C shim fetches raw must linearize in C order:
+            # old PJRT plugins' ToHostBuffer copies device order without
+            # de-permuting minor-to-major, and XLA assigns outputs whose
+            # minor dim is under the 128-byte lane tile a TRANSPOSED
+            # layout (found the hard way: every 512-bucket packed mask
+            # came back byte-transposed). 1-D outputs are immune — the
+            # program builders flatten (runtime/segmentation.py
+            # _build_decode_fn); for anything multi-dim, require the
+            # default minor-to-major here. A tiling suffix (":T(...)") is
+            # fine — untiling is handled by the plugin (1024 programs are
+            # byte-exact).
+            try:
+                layouts = comp._executable.xla_executable.get_output_layouts()
+            except Exception as e:  # older plugins may lack the query
+                print(f"  (no output-layout query: {e})", flush=True)
+                layouts = []
+            for i, (o, lay) in enumerate(zip(outs, layouts)):
+                if o.ndim <= 1:
+                    continue
+                default = "{" + ",".join(map(str, reversed(range(o.ndim))))
+                s = str(lay)
+                if not (s.startswith(default + "}")
+                        or s.startswith(default + ":")):
+                    raise RuntimeError(
+                        f"{name} out{i} shape {o.shape} has non-default "
+                        f"layout {s}; the native shim's raw ToHostBuffer "
+                        f"would permute it — flatten this output to 1-D "
+                        f"in the program and reshape on the host")
             print(f"exported {name}: {len(blob)} bytes, "
                   f"{len(kept)} kept args ({n_dynamic} dynamic), "
                   f"{len(outs)} out", flush=True)

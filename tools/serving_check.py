@@ -37,13 +37,17 @@ def main() -> int:
     args = ap.parse_args()
     os.makedirs(args.dir, exist_ok=True)
 
+    # Two buckets: the main image exercises args.size, the secondary
+    # small-image leg exercises half-size bucket selection in the C shim.
     bucket = args.size
-    marker = os.path.join(
-        args.dir, f"serve_decode_{args.variant}_{bucket}.pjrt")
-    if not os.path.exists(marker):
+    buckets = sorted({bucket // 2, bucket})
+    markers = [os.path.join(args.dir, f"serve_decode_{args.variant}_{b}.pjrt")
+               for b in buckets]
+    if not all(os.path.exists(m) for m in markers):
         cmd = [sys.executable, os.path.join(REPO, "tools", "aot_export.py"),
                "--out", args.dir, "--program", "serving",
-               "--variant", args.variant, "--buckets", str(bucket)]
+               "--variant", args.variant,
+               "--buckets", ",".join(map(str, buckets))]
         if args.birefnet:
             cmd += ["--birefnet", args.birefnet]
         r = subprocess.run(cmd)
@@ -71,11 +75,38 @@ env = dl.Environment(dl.Options(
         os.path.expanduser("~/.cache/dlimgedit_tpu/xla"))))
 seg = dl.Segmentation.process(img, env, variant={args.variant!r})
 point = (size // 2, size // 2)
+region = (size // 8, size // 8, size // 2, (3 * size) // 4)
 mask = seg.compute_mask(dl.Point(*point))
 open({args.dir!r} + "/image.raw", "wb").write(img_px.tobytes())
 open({args.dir!r} + "/golden.raw", "wb").write(mask.pixels.tobytes())
 open({args.dir!r} + "/meta.txt", "w").write(
-    f"{{size}} {{size}} 4 {{point[0]}} {{point[1]}}\\n")
+    f"{{size}} {{size}} 4 {{point[0]}} {{point[1]}} "
+    f"{{region[0]}} {{region[1]}} {{region[2]}} {{region[3]}}\\n")
+# 3-mask decode (compute_masks) + confidences.
+cands = seg.compute_masks(dl.Point(*point))
+open({args.dir!r} + "/golden3.raw", "wb").write(
+    b"".join(m.image.pixels.tobytes() for m in cands))
+np.array([m.accuracy for m in cands], np.float32).tofile(
+    {args.dir!r} + "/golden3_iou.raw")
+# Region (box) prompt.
+rmask = seg.compute_mask(dl.Region(dl.Point(region[0], region[1]),
+                                   dl.Point(region[2], region[3])))
+open({args.dir!r} + "/golden_region.raw", "wb").write(
+    rmask.pixels.tobytes())
+# Secondary non-square small image: exercises half-size bucket selection
+# and the resize-longest-side scale/crop math (500 -> model 1024, bucket
+# {args.size // 2}).
+sw, sh = (size * 500) // 1024, (size * 375) // 1024
+simg_px = rng.integers(0, 256, (sh, sw, 3), dtype=np.uint8)
+simg = dl.Image(dl.Extent(sw, sh), dl.Channels.rgb, simg_px)
+sseg = dl.Segmentation.process(simg, env, variant={args.variant!r})
+spoint = (sw // 2, sh // 2)
+smask = sseg.compute_mask(dl.Point(*spoint))
+open({args.dir!r} + "/image_small.raw", "wb").write(simg_px.tobytes())
+open({args.dir!r} + "/golden_small.raw", "wb").write(
+    smask.pixels.tobytes())
+open({args.dir!r} + "/meta_small.txt", "w").write(
+    f"{{sw}} {{sh}} 3 {{spoint[0]}} {{spoint[1]}}\\n")
 if {bool(args.birefnet)!r}:
     obj = dl.segment_objects(img, env)
     open({args.dir!r} + "/golden_objects.raw", "wb").write(
