@@ -59,7 +59,20 @@ def restore_train_state(directory, step: Optional[int] = None,
     path = Path(directory).absolute() / f"step_{step}"
     with ocp.PyTreeCheckpointer() as ckptr:
         if like is not None:
-            restored = ckptr.restore(path, item=like)
+            # Shardings come from `like`, not the checkpoint: restoring a
+            # multi-host/multi-device state puts every shard straight onto
+            # its mesh position (each process reads only its addressable
+            # shards — the multi-host resume path, tests/_multihost_worker).
+            def _ra(x):
+                if isinstance(x, jax.Array):
+                    return ocp.ArrayRestoreArgs(sharding=x.sharding,
+                                                global_shape=x.shape,
+                                                dtype=x.dtype)
+                return ocp.RestoreArgs()
+
+            restored = ckptr.restore(
+                path, item=like,
+                restore_args=jax.tree_util.tree_map(_ra, like))
         else:
             # Restore as host numpy (no sharding spec required); callers
             # device_put with parallel.mesh shardings for multi-chip resume.

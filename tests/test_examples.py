@@ -90,6 +90,18 @@ def test_streaming_frames_runs(capsys):
     assert "masks: (6," in text
 
 
+def test_multihost_train_runs(tmp_path, capsys):
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mod = _load_example("multihost_train")
+    ckpt = tmp_path / "mh_ckpts"
+    mod.main(argv=[str(ckpt)], n_steps=2, devices=devs[:8])
+    text = capsys.readouterr().out
+    assert "step 1: loss" in text and "collective checkpoint" in text
+    assert (ckpt / "step_2").exists()
+
+
 def test_finetune_decoder_runs(tmp_path, capsys):
     devs = jax.devices("cpu")
     if len(devs) < 8:
