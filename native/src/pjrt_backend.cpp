@@ -109,6 +109,7 @@ bool load_npy(const std::string& path, Npy* out, std::string* err) {
   if (descr == "<f4") out->dtype = "float32";
   else if (descr == "<i4") out->dtype = "int32";
   else if (descr == "|u1") out->dtype = "uint8";
+  else if (descr == "|i1") out->dtype = "int8";  // quantized serving bundles
   else if (descr == "<V2" || descr == "<u2") out->dtype = "bfloat16";
   else {
     if (err) *err = "unsupported npy descr " + descr + " in " + path;
@@ -132,6 +133,7 @@ PJRT_Buffer_Type dtype_enum(const std::string& d) {
   if (d == "float32") return PJRT_Buffer_Type_F32;
   if (d == "int32") return PJRT_Buffer_Type_S32;
   if (d == "uint8") return PJRT_Buffer_Type_U8;
+  if (d == "int8") return PJRT_Buffer_Type_S8;
   if (d == "bfloat16") return PJRT_Buffer_Type_BF16;
   return PJRT_Buffer_Type_INVALID;
 }

@@ -15,6 +15,53 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_aot_export_serving_bundle_quantized(tmp_path):
+    """--program serving exports a complete native-serving bundle on the
+    hermetic CPU tier (tiny geometry), including the quantized modes: int8
+    weight rows appear as `inw int8` spec lines the C loader understands
+    (pjrt_backend.cpp |i1 -> PJRT_Buffer_Type_S8), packed-mask outputs obey
+    the 1-D serving layout rule, and serving.txt records the quant mode."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "aot_export.py"),
+         "--out", str(tmp_path), "--program", "serving", "--backend", "cpu",
+         "--variant", "mobile_sam", "--sam-image-size", "64",
+         "--buckets", "128", "--quantize-activations"],
+        capture_output=True, text=True, timeout=540, env=env, cwd=REPO)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+
+    for name in ("serve_embed_mobile_sam_128", "serve_decode_mobile_sam_128",
+                 "serve_decode3_mobile_sam_128"):
+        assert (tmp_path / f"{name}.pjrt").stat().st_size > 100
+        assert (tmp_path / f"{name}.spec.txt").exists()
+
+    embed_spec = (tmp_path / "serve_embed_mobile_sam_128.spec.txt").read_text()
+    assert "inw int8" in embed_spec, embed_spec  # quantized projections
+    dyn = [ln for ln in embed_spec.splitlines() if ln.startswith("ind ")]
+    assert len(dyn) == 2  # canvas + sizes
+
+    # Serving layout rule: every decode output the shim fetches raw is 1-D
+    # (the packed mask) or scalar-ish (iou vector).
+    dec_spec = (tmp_path / "serve_decode_mobile_sam_128.spec.txt").read_text()
+    outs = [ln.split() for ln in dec_spec.splitlines()
+            if ln.startswith("out ")]
+    assert all(len(o[2].split(",")) == 1 for o in outs), outs
+
+    serving = dict(ln.split("\t", 1) for ln in
+                   (tmp_path / "serving.txt").read_text().splitlines())
+    assert serving["variant"] == "mobile_sam"
+    assert serving["buckets"] == "128"
+    assert serving["quant"] == "w8,a8"
+
+    # The recorded expected outputs came from executing the REAL compiled
+    # program — the packed mask must be a plausible bit-packed canvas.
+    packed = np.load(tmp_path / "serve_decode_mobile_sam_128.out0.npy")
+    assert packed.dtype == np.uint8 and packed.shape == (128 * 128 // 8,)
+
+
 def test_aot_export_smoke_bundle(tmp_path):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)

@@ -77,6 +77,23 @@ def main() -> int:
                     help="serving: comma list of kind:bucket BiRefNet "
                          "programs to also export (e.g. general:1024); "
                          "enables segment_objects in the native shim")
+    ap.add_argument("--backend", default="gpu", choices=["gpu", "cpu"],
+                    help="serving: device the programs compile for (cpu = "
+                         "hermetic test tier; executables serialize through "
+                         "whatever PJRT backend is active)")
+    ap.add_argument("--sam-image-size", type=int, default=0,
+                    help="serving: override SAM model resolution (tests "
+                         "export tiny geometries)")
+    ap.add_argument("--quantize", action="store_true",
+                    help="serving: int8 encoder projection weights "
+                         "(Options.quantize_encoder — halves encoder HBM)")
+    ap.add_argument("--quantize-activations", action="store_true",
+                    help="serving: s8 x s8 MXU projections "
+                         "(Options.quantize_activations; implies --quantize)")
+    ap.add_argument("--int8-deform", action="store_true",
+                    help="serving: int8 BiRefNet deformable-sampling "
+                         "gathers (Options.birefnet_int8_deform, <2% "
+                         "bounded mask deviation)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -161,14 +178,23 @@ def main() -> int:
         from dlimgedit_tpu.runtime.segmentation import (_build_decode_fn,
                                                         _build_embed_fn)
 
+        extra = {}
+        if args.sam_image_size:
+            extra["sam_image_size"] = args.sam_image_size
         env = dl.Environment(dl.Options(
-            backend=dl.Backend.gpu, allow_random_weights=True,
+            backend=(dl.Backend.cpu if args.backend == "cpu"
+                     else dl.Backend.gpu),
+            allow_random_weights=True,
             compute_dtype="bfloat16",
+            quantize_encoder=args.quantize,
+            quantize_activations=args.quantize_activations,
+            birefnet_int8_deform=args.int8_deform,
             # Persist across runs: first 1024-bucket compiles through the
             # tunnel take minutes; re-exports then hit the cache.
             compilation_cache_dir=os.environ.get(
                 "DLIMG_COMPILATION_CACHE",
-                os.path.expanduser("~/.cache/dlimgedit_tpu/xla"))))
+                os.path.expanduser("~/.cache/dlimgedit_tpu/xla")),
+            **extra))
         bundle = env.sam_model(args.variant)
         buckets = [int(b) for b in args.buckets.split(",")]
 
@@ -281,6 +307,12 @@ def main() -> int:
             f.write(f"buckets\t{','.join(map(str, buckets))}\n")
             if biref_specs:
                 f.write(f"birefnet\t{','.join(biref_specs)}\n")
+            quant = [m for m, on in (
+                ("w8", args.quantize or args.quantize_activations),
+                ("a8", args.quantize_activations),
+                ("deform8", args.int8_deform)) if on]
+            if quant:
+                f.write(f"quant\t{','.join(quant)}\n")
     else:
         import dlimgedit_tpu as dl
         from dlimgedit_tpu.runtime.segmentation import _build_decode_fn
