@@ -411,6 +411,25 @@ Exec* get_exec(Backend* be, const std::string& name, std::string* err) {
 
 }  // namespace
 
+std::string debug_npy_info(const std::string& path) {
+  // Test-only hook (native/test/test_bundle_parse.cpp): parse one .npy
+  // with the loader's OWN dialect and render "dtype d0,d1,... nbytes"
+  // ("" = parse error). Lets a plugin-free hermetic test validate npy
+  // parsing — incl. the |i1 int8 rows of quantized serving bundles —
+  // against real exporter output.
+  Npy n;
+  std::string err;
+  if (!load_npy(path, &n, &err)) return "";
+  std::string s = n.dtype + " ";
+  for (size_t i = 0; i < n.shape.size(); ++i) {
+    if (i) s += ",";
+    s += std::to_string(n.shape[i]);
+  }
+  if (n.shape.empty()) s += "-";
+  s += " " + std::to_string(n.data.size());
+  return s;
+}
+
 bool run(Backend* be, const std::string& name, const std::vector<Arg>& args,
          std::vector<Buf*>* outs, std::string* err) {
   std::lock_guard<std::mutex> lk(be->mu);

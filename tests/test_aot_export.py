@@ -61,6 +61,18 @@ def test_aot_export_serving_bundle_quantized(tmp_path):
     packed = np.load(tmp_path / "serve_decode_mobile_sam_128.out0.npy")
     assert packed.dtype == np.uint8 and packed.shape == (128 * 128 // 8,)
 
+    # Cross-language contract: the C loader's own npy parser must read back
+    # every spec row of this bundle (incl. the int8 weights) —
+    # native/test/test_bundle_parse.cpp, no PJRT plugin required.
+    from tests._native_build import BUILD_DIR, ensure_native_build
+
+    binary = BUILD_DIR / "test_bundle_parse"
+    ensure_native_build(binary)
+    rc = subprocess.run([str(binary), str(tmp_path)], capture_output=True,
+                        text=True)
+    assert rc.returncode == 0, rc.stdout + rc.stderr
+    assert "int8" in rc.stdout and "bundle parse OK" in rc.stdout
+
 
 def test_aot_export_smoke_bundle(tmp_path):
     env = dict(os.environ)
