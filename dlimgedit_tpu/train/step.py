@@ -30,6 +30,13 @@ class TrainConfig:
     dice_weight: float = 1.0
     focal_weight: float = 20.0
     iou_weight: float = 1.0
+    # Learning-rate schedule: linear warmup over `warmup_steps`, then cosine
+    # decay over `decay_steps` (both 0 -> constant lr). Enabling a schedule
+    # adds a step counter to the optimizer state — restore checkpoints with
+    # the same TrainConfig (restore_train_state's leaf-count assert catches
+    # a mismatch).
+    warmup_steps: int = 0
+    decay_steps: int = 0
 
 
 def _focal_loss(logits, targets, alpha, gamma):
@@ -70,8 +77,19 @@ def mask_loss(params, cfg: sam_lib.SamConfig, batch: Dict[str, jnp.ndarray],
     return loss, {"focal": focal, "dice": dice, "iou_mse": iou_l}
 
 
+def learning_rate_schedule(tcfg: TrainConfig = TrainConfig()):
+    """Scalar lr, or warmup->cosine schedule when the config asks for one."""
+    if not (tcfg.warmup_steps or tcfg.decay_steps):
+        return tcfg.learning_rate
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=tcfg.learning_rate,
+        warmup_steps=max(tcfg.warmup_steps, 1),
+        decay_steps=max(tcfg.decay_steps, tcfg.warmup_steps + 1))
+
+
 def make_optimizer(tcfg: TrainConfig = TrainConfig()):
-    return optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay)
+    return optax.adamw(learning_rate_schedule(tcfg),
+                       weight_decay=tcfg.weight_decay)
 
 
 def init_train_state(params, tcfg: TrainConfig = TrainConfig()):
@@ -79,18 +97,49 @@ def init_train_state(params, tcfg: TrainConfig = TrainConfig()):
 
 
 def make_train_step(cfg: sam_lib.SamConfig, tcfg: TrainConfig = TrainConfig(),
-                    mesh=None, donate: bool = True):
+                    mesh=None, donate: bool = True, accum_steps: int = 1):
     """Build the jitted (optionally mesh-sharded) train step.
 
     With a mesh: params/opt-state take the tensor-parallel shardings from
     parallel/mesh (Megatron column/row pattern), the batch is dp-sharded, and
     XLA inserts all ICI collectives (gradient psum over dp rides the mesh).
+
+    `accum_steps > 1`: gradient accumulation — the batch (leading dim B,
+    B % accum_steps == 0) is split into microbatches scanned inside the ONE
+    jitted step; activations live for one microbatch while gradients
+    accumulate in a single param-sized buffer, so the effective batch can
+    exceed what activation memory allows. The update equals the full-batch
+    update exactly (every loss term is a microbatch mean of equal-sized
+    groups; keep B/accum_steps divisible by the mesh dp for clean
+    shardings).
     """
     opt = make_optimizer(tcfg)
+    grad_fn = jax.value_and_grad(mask_loss, has_aux=True)
 
     def step(params, opt_state, batch):
-        (loss, aux), grads = jax.value_and_grad(mask_loss, has_aux=True)(
-            params, cfg, batch, tcfg)
+        if accum_steps == 1:
+            (loss, aux), grads = grad_fn(params, cfg, batch, tcfg)
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                    + x.shape[1:]), batch)
+
+            def body(acc, mb):
+                g_acc, loss_acc, aux_acc = acc
+                (l, a), g = grad_fn(params, cfg, mb, tcfg)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                aux_acc = {k: aux_acc[k] + a[k] for k in aux_acc}
+                return (g_acc, loss_acc + l, aux_acc), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+            aux0 = {"focal": 0.0, "dice": 0.0, "iou_mse": 0.0}
+            (grads, loss, aux), _ = jax.lax.scan(
+                body, (zeros, jnp.float32(0.0), aux0), micro)
+            inv = 1.0 / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            loss = loss * inv
+            aux = {k: v * inv for k, v in aux.items()}
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux

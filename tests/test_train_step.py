@@ -1,0 +1,78 @@
+"""Trainer-depth tests: gradient accumulation and LR schedules
+(train/step.py)."""
+
+import numpy as np
+
+import jax
+
+from dlimgedit_tpu.models import sam as sam_lib
+from dlimgedit_tpu.train.step import (
+    TrainConfig,
+    init_train_state,
+    learning_rate_schedule,
+    make_train_step,
+)
+
+
+def _setup(B=8, seed=0):
+    cfg = sam_lib.make_config("mobile_sam", image_size=64)
+    params = sam_lib.init_sam(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(seed)
+    L = cfg.mask_input_size
+    batch = {
+        "images": rng.standard_normal((B, 64, 64, 3)).astype(np.float32),
+        "point_coords": rng.uniform(0, 64, (B, 2, 2)).astype(np.float32),
+        "point_labels": np.tile(np.array([[1.0, -1.0]], np.float32), (B, 1)),
+        "masks": (rng.random((B, L, L)) > 0.5).astype(np.float32),
+    }
+    return cfg, params, batch
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=4 over B=8 must produce the SAME update as the full-batch
+    step: every loss term is a mean over equal-sized microbatches, so the
+    accumulated mean gradient is the full-batch gradient exactly (up to fp
+    reassociation)."""
+    cfg, params, batch = _setup(B=8)
+    tcfg = TrainConfig()
+    opt_state = init_train_state(params, tcfg)
+
+    full = make_train_step(cfg, tcfg, donate=False)
+    acc = make_train_step(cfg, tcfg, donate=False, accum_steps=4)
+
+    p_full, _, loss_full, aux_full = full(params, opt_state, batch)
+    p_acc, _, loss_acc, aux_acc = acc(params, opt_state, batch)
+
+    assert abs(float(loss_full) - float(loss_acc)) < 1e-4
+    for k in aux_full:
+        assert abs(float(aux_full[k]) - float(aux_acc[k])) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_acc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-4)
+
+
+def test_lr_schedule_shape():
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=4, decay_steps=20)
+    sched = learning_rate_schedule(tcfg)
+    assert float(sched(0)) < 1e-4          # warmup starts near 0
+    np.testing.assert_allclose(float(sched(4)), 1e-3, rtol=1e-6)  # peak
+    assert float(sched(19)) < float(sched(10)) < 1e-3  # cosine decays
+    # Constant config returns the plain scalar.
+    assert learning_rate_schedule(TrainConfig()) == TrainConfig().learning_rate
+
+
+def test_scheduled_step_decays_lr_in_state():
+    """A scheduled optimizer carries a step counter; two steps advance it and
+    training still runs end-to-end."""
+    cfg, params, batch = _setup(B=2)
+    tcfg = TrainConfig(warmup_steps=2, decay_steps=8)
+    opt_state = init_train_state(params, tcfg)
+    step = make_train_step(cfg, tcfg, donate=False)
+    p, o, loss0, _ = step(params, opt_state, batch)
+    p, o, loss1, _ = step(p, o, batch)
+    counts = [int(x) for x in jax.tree_util.tree_leaves(o)
+              if np.ndim(x) == 0 and np.issubdtype(
+                  np.asarray(x).dtype, np.integer)]
+    assert 2 in counts, counts
+    assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
