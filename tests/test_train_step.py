@@ -52,6 +52,26 @@ def test_grad_accumulation_matches_full_batch():
                                    atol=2e-5, rtol=2e-4)
 
 
+def test_remat_encoder_identical_numerics():
+    """jax.checkpoint over the encoder recomputes activations in the
+    backward pass. The forward loss is bit-identical; gradients agree to
+    rounding (XLA fuses the recomputation differently, so bit-exactness
+    across the two program structures is not guaranteed — observed drift
+    is ~1e-11 on 1e-4-scale adam updates)."""
+    cfg, params, batch = _setup(B=2, seed=3)
+    opt_state = init_train_state(params)
+    plain = make_train_step(cfg, TrainConfig(), donate=False)
+    remat = make_train_step(cfg, TrainConfig(remat_encoder=True),
+                            donate=False)
+    p0, _, l0, _ = plain(params, opt_state, batch)
+    p1, _, l1, _ = remat(params, opt_state, batch)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7, rtol=1e-5)
+
+
 def test_lr_schedule_shape():
     tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=4, decay_steps=20)
     sched = learning_rate_schedule(tcfg)

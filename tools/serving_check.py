@@ -34,6 +34,13 @@ def main() -> int:
     ap.add_argument("--birefnet", default="",
                     help="also export + check segment_objects (e.g. "
                          "general:1024)")
+    ap.add_argument("--quantize", action="store_true",
+                    help="check the int8-weight serving bundle (use a "
+                         "separate --dir per quant mode)")
+    ap.add_argument("--quantize-activations", action="store_true",
+                    help="check the s8 x s8 serving bundle")
+    ap.add_argument("--int8-deform", action="store_true",
+                    help="check the int8-deform BiRefNet serving bundle")
     args = ap.parse_args()
     os.makedirs(args.dir, exist_ok=True)
 
@@ -50,6 +57,12 @@ def main() -> int:
                "--buckets", ",".join(map(str, buckets))]
         if args.birefnet:
             cmd += ["--birefnet", args.birefnet]
+        if args.quantize:
+            cmd += ["--quantize"]
+        if args.quantize_activations:
+            cmd += ["--quantize-activations"]
+        if args.int8_deform:
+            cmd += ["--int8-deform"]
         r = subprocess.run(cmd)
         if r.returncode != 0:
             return r.returncode
@@ -70,6 +83,9 @@ import os
 env = dl.Environment(dl.Options(
     backend=dl.Backend.gpu, allow_random_weights=True,
     compute_dtype="bfloat16",
+    quantize_encoder={args.quantize!r},
+    quantize_activations={args.quantize_activations!r},
+    birefnet_int8_deform={args.int8_deform!r},
     compilation_cache_dir=os.environ.get(
         "DLIMG_COMPILATION_CACHE",
         os.path.expanduser("~/.cache/dlimgedit_tpu/xla"))))
