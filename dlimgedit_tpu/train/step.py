@@ -43,6 +43,12 @@ class TrainConfig:
     # encoder forward for the whole activation footprint. Loss is
     # bit-identical; gradients agree to rounding (tested to 1e-7).
     remat_encoder: bool = False
+    # Mixed precision (the standard TPU policy): run the ENCODER forward/
+    # backward on bf16 copies of the f32 master weights — activations and
+    # matmuls hit the MXU's native bf16 rate and halve activation bytes —
+    # while gradients flow back through the cast in f32 and adamw updates
+    # the f32 masters. Loss terms and the small decoder stay f32.
+    encoder_dtype: str = "float32"  # "bfloat16" for mixed precision
 
 
 def _focal_loss(logits, targets, alpha, gamma):
@@ -67,7 +73,19 @@ def mask_loss(params, cfg: sam_lib.SamConfig, batch: Dict[str, jnp.ndarray],
     encode = sam_lib.encode_image
     if tcfg.remat_encoder:
         encode = jax.checkpoint(encode, static_argnums=(1,))
-    emb = encode(params, cfg, batch["images"])
+    enc_params = params
+    images = batch["images"]
+    if tcfg.encoder_dtype == "bfloat16":
+        # bf16 shadow of the f32 masters for the forward/backward; the
+        # astype is differentiable, so grads return in f32 to adamw.
+        # Inputs are cast too — a f32 operand would silently promote every
+        # matmul back to f32 compute.
+        enc_params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, params)
+        enc_params = {**params, "encoder": enc_params["encoder"]}
+        images = images.astype(jnp.bfloat16)
+    emb = encode(enc_params, cfg, images)
     pred, iou_pred = sam_lib.decode_masks(
         params, cfg, emb.astype(jnp.float32), batch["point_coords"],
         batch["point_labels"], multimask=False)

@@ -72,6 +72,27 @@ def test_remat_encoder_identical_numerics():
                                    atol=1e-7, rtol=1e-5)
 
 
+def test_mixed_precision_encoder_training():
+    """encoder_dtype=bfloat16 runs the encoder fwd/bwd on bf16 shadows of
+    the f32 masters: the step must keep all params f32 (masters), produce a
+    loss close to the f32 step's, and still move the encoder weights."""
+    cfg, params, batch = _setup(B=2, seed=4)
+    opt_state = init_train_state(params)
+    f32_step = make_train_step(cfg, TrainConfig(), donate=False)
+    bf16_step = make_train_step(cfg, TrainConfig(encoder_dtype="bfloat16"),
+                                donate=False)
+    _, _, l32, _ = f32_step(params, opt_state, batch)
+    p16, _, l16, _ = bf16_step(params, opt_state, batch)
+    assert np.isfinite(float(l16))
+    # bf16 forward noise moves the loss a little, not a lot.
+    assert abs(float(l16) - float(l32)) / abs(float(l32)) < 0.05
+    for leaf in jax.tree_util.tree_leaves(p16):
+        assert leaf.dtype == np.float32
+    before = np.asarray(params["encoder"]["patch_embed"]["conv1"]["w"])
+    after = np.asarray(p16["encoder"]["patch_embed"]["conv1"]["w"])
+    assert not np.allclose(before, after)
+
+
 def test_lr_schedule_shape():
     tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=4, decay_steps=20)
     sched = learning_rate_schedule(tcfg)
