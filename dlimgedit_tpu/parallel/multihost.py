@@ -65,7 +65,8 @@ def global_mesh(dp: Optional[int] = None, tp: Optional[int] = None,
         f"uneven devices per process: {counts}")
     n = len(devices)
     if tp is None:
-        tp = 2 if local % 2 == 0 and n >= 4 else 1
+        # Derive from an explicit dp; otherwise the default heuristic.
+        tp = (n // dp) if dp else (2 if local % 2 == 0 and n >= 4 else 1)
     if dp is None:
         dp = n // tp
     assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
@@ -103,11 +104,22 @@ def replicate_params(mesh: Mesh, params):
 def local_rows(garr: jax.Array) -> np.ndarray:
     """This process's rows of a dp-sharded global array, in global order.
 
-    With tp > 1 every dp shard is replicated across its tp group, so the
-    same row range appears once per tp-local device; deduplicate by index.
+    Requires the array to be sharded on the LEADING axis only (batch
+    convention: P("dp", None, ...)). With tp > 1 every dp shard is then
+    replicated across its tp group — the same row range appears once per
+    tp-local device — and is deduplicated by index. Trailing-axis sharding
+    is rejected (deduplication by leading index would silently keep one
+    arbitrary slice of each row block).
     """
     seen = {}
     for s in garr.addressable_shards:
+        for d, idx in enumerate(s.index[1:], start=1):
+            if (idx.start or 0) != 0 or (
+                    idx.stop is not None and idx.stop != garr.shape[d]):
+                raise ValueError(
+                    f"local_rows needs leading-axis sharding only; axis {d} "
+                    f"of a shard covers {idx}, not the full extent "
+                    f"{garr.shape[d]}")
         seen.setdefault(s.index[0].start or 0, s)
     return np.concatenate(
         [np.asarray(seen[k].data) for k in sorted(seen)], axis=0)

@@ -31,7 +31,8 @@ class TrainConfig:
     focal_weight: float = 20.0
     iou_weight: float = 1.0
     # Learning-rate schedule: linear warmup over `warmup_steps`, then cosine
-    # decay over `decay_steps` (both 0 -> constant lr). Enabling a schedule
+    # decay over `decay_steps` counted AFTER warmup (decay_steps=0 holds the
+    # peak lr; both 0 -> constant lr). Enabling a schedule
     # adds a step counter to the optimizer state — restore checkpoints with
     # the same TrainConfig (restore_train_state's leaf-count assert catches
     # a mismatch).
@@ -79,11 +80,11 @@ def mask_loss(params, cfg: sam_lib.SamConfig, batch: Dict[str, jnp.ndarray],
         # bf16 shadow of the f32 masters for the forward/backward; the
         # astype is differentiable, so grads return in f32 to adamw.
         # Inputs are cast too — a f32 operand would silently promote every
-        # matmul back to f32 compute.
-        enc_params = jax.tree_util.tree_map(
+        # matmul back to f32 compute. Only the encoder subtree is shadowed
+        # (the decoder/prompt-encoder run f32).
+        enc_params = {**params, "encoder": jax.tree_util.tree_map(
             lambda p: p.astype(jnp.bfloat16)
-            if p.dtype == jnp.float32 else p, params)
-        enc_params = {**params, "encoder": enc_params["encoder"]}
+            if p.dtype == jnp.float32 else p, params["encoder"])}
         images = images.astype(jnp.bfloat16)
     emb = encode(enc_params, cfg, images)
     pred, iou_pred = sam_lib.decode_masks(
@@ -105,13 +106,23 @@ def mask_loss(params, cfg: sam_lib.SamConfig, batch: Dict[str, jnp.ndarray],
 
 
 def learning_rate_schedule(tcfg: TrainConfig = TrainConfig()):
-    """Scalar lr, or warmup->cosine schedule when the config asks for one."""
+    """Scalar lr, or warmup->cosine schedule when the config asks for one.
+
+    `decay_steps` counts steps AFTER warmup (unlike optax's
+    warmup_cosine_decay_schedule, whose decay_steps is the total length
+    including warmup — that semantics collapses the lr to 0 one step after
+    warmup for warmup-only configs). decay_steps=0 holds peak lr after
+    warmup."""
     if not (tcfg.warmup_steps or tcfg.decay_steps):
         return tcfg.learning_rate
-    return optax.warmup_cosine_decay_schedule(
-        init_value=0.0, peak_value=tcfg.learning_rate,
-        warmup_steps=max(tcfg.warmup_steps, 1),
-        decay_steps=max(tcfg.decay_steps, tcfg.warmup_steps + 1))
+    warmup = optax.linear_schedule(0.0, tcfg.learning_rate,
+                                   max(tcfg.warmup_steps, 1))
+    if tcfg.decay_steps:
+        tail = optax.cosine_decay_schedule(tcfg.learning_rate,
+                                           tcfg.decay_steps)
+    else:
+        tail = optax.constant_schedule(tcfg.learning_rate)
+    return optax.join_schedules([warmup, tail], [max(tcfg.warmup_steps, 1)])
 
 
 def make_optimizer(tcfg: TrainConfig = TrainConfig()):
@@ -155,18 +166,24 @@ def make_train_step(cfg: sam_lib.SamConfig, tcfg: TrainConfig = TrainConfig(),
                 g_acc, loss_acc, aux_acc = acc
                 (l, a), g = grad_fn(params, cfg, mb, tcfg)
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-                aux_acc = {k: aux_acc[k] + a[k] for k in aux_acc}
+                aux_acc = jax.tree_util.tree_map(jnp.add, aux_acc, a)
                 return (g_acc, loss_acc + l, aux_acc), None
 
             zeros = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), params)
-            aux0 = {"focal": 0.0, "dice": 0.0, "iou_mse": 0.0}
+            # Aux accumulator structure comes from the loss itself so a new
+            # aux metric can never be silently dropped on this path only.
+            mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
+            aux_tmpl = jax.eval_shape(
+                lambda p, b: mask_loss(p, cfg, b, tcfg)[1], params, mb0)
+            aux0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), aux_tmpl)
             (grads, loss, aux), _ = jax.lax.scan(
                 body, (zeros, jnp.float32(0.0), aux0), micro)
             inv = 1.0 / accum_steps
             grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
             loss = loss * inv
-            aux = {k: v * inv for k, v in aux.items()}
+            aux = jax.tree_util.tree_map(lambda v: v * inv, aux)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux

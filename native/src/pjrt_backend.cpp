@@ -23,6 +23,7 @@
 #include <mutex>
 #include <sstream>
 
+#include "npy.hpp"
 #include "tensorflow/compiler/xla/pjrt/c/pjrt_c_api.h"
 
 namespace dlimg_pjrt {
@@ -76,58 +77,9 @@ struct Exec {
   std::vector<PJRT_Buffer*> weights;
 };
 
-// Minimal .npy (v1.x, little-endian, C-contiguous) reader.
-struct Npy {
-  std::string dtype;
-  std::vector<int64_t> shape;
-  std::string data;
-};
-
-bool load_npy(const std::string& path, Npy* out, std::string* err) {
-  std::string raw = read_file(path, err);
-  if (raw.empty()) return false;
-  if (raw.size() < 10 || std::memcmp(raw.data(), "\x93NUMPY", 6) != 0) {
-    if (err) *err = "bad npy magic: " + path;
-    return false;
-  }
-  unsigned hlen = static_cast<unsigned char>(raw[8]) |
-                  (static_cast<unsigned char>(raw[9]) << 8);
-  std::string hdr = raw.substr(10, hlen);
-  if (hdr.find("'fortran_order': True") != std::string::npos) {
-    // This loader streams raw bytes as C-order; a Fortran-ordered array
-    // would silently transpose. The exporter writes C-contiguous arrays
-    // (tools/aot_export.py ascontiguousarray) — refuse stale bundles.
-    if (err)
-      *err = "Fortran-ordered npy " + path +
-             " (stale bundle; re-run tools/aot_export.py)";
-    return false;
-  }
-  auto dpos = hdr.find("'descr':");
-  auto q1 = hdr.find('\'', dpos + 8);
-  auto q2 = hdr.find('\'', q1 + 1);
-  std::string descr = hdr.substr(q1 + 1, q2 - q1 - 1);
-  if (descr == "<f4") out->dtype = "float32";
-  else if (descr == "<i4") out->dtype = "int32";
-  else if (descr == "|u1") out->dtype = "uint8";
-  else if (descr == "|i1") out->dtype = "int8";  // quantized serving bundles
-  else if (descr == "<V2" || descr == "<u2") out->dtype = "bfloat16";
-  else {
-    if (err) *err = "unsupported npy descr " + descr + " in " + path;
-    return false;
-  }
-  auto spos = hdr.find("'shape':");
-  auto p1 = hdr.find('(', spos);
-  auto p2 = hdr.find(')', p1);
-  std::stringstream ds(hdr.substr(p1 + 1, p2 - p1 - 1));
-  std::string tok;
-  out->shape.clear();
-  while (std::getline(ds, tok, ',')) {
-    if (tok.find_first_of("0123456789") == std::string::npos) continue;
-    out->shape.push_back(std::stoll(tok));
-  }
-  out->data = raw.substr(10 + hlen);
-  return true;
-}
+// .npy reading shared with the plugin-free bundle test (native/src/npy.hpp).
+using dlimg_npy::Npy;
+using dlimg_npy::load_npy;
 
 PJRT_Buffer_Type dtype_enum(const std::string& d) {
   if (d == "float32") return PJRT_Buffer_Type_F32;
@@ -410,25 +362,6 @@ Exec* get_exec(Backend* be, const std::string& name, std::string* err) {
 }
 
 }  // namespace
-
-std::string debug_npy_info(const std::string& path) {
-  // Test-only hook (native/test/test_bundle_parse.cpp): parse one .npy
-  // with the loader's OWN dialect and render "dtype d0,d1,... nbytes"
-  // ("" = parse error). Lets a plugin-free hermetic test validate npy
-  // parsing — incl. the |i1 int8 rows of quantized serving bundles —
-  // against real exporter output.
-  Npy n;
-  std::string err;
-  if (!load_npy(path, &n, &err)) return "";
-  std::string s = n.dtype + " ";
-  for (size_t i = 0; i < n.shape.size(); ++i) {
-    if (i) s += ",";
-    s += std::to_string(n.shape[i]);
-  }
-  if (n.shape.empty()) s += "-";
-  s += " " + std::to_string(n.data.size());
-  return s;
-}
 
 bool run(Backend* be, const std::string& name, const std::vector<Arg>& args,
          std::vector<Buf*>* outs, std::string* err) {

@@ -59,8 +59,4 @@ void release(Backend*, Buf*);
 bool validate(Backend*, const std::string& name, std::string* report,
               std::string* err);
 
-// Test-only (no PJRT plugin required): parse one .npy with the loader's
-// own dialect; returns "dtype d0,d1,... nbytes", or "" on parse error.
-std::string debug_npy_info(const std::string& path);
-
 }  // namespace dlimg_pjrt

@@ -1,12 +1,13 @@
 // Plugin-free validation of a serving bundle's on-disk contract.
 //
 // For every <program>.spec.txt in the bundle dir, parse each `in*`/`out`
-// row, load the corresponding .npy through the C loader's OWN parser
-// (dlimg_pjrt::debug_npy_info) and assert dtype, dims, and payload size
-// agree — including the |i1 int8 weight rows of quantized bundles. This is
-// the hermetic half of the serving validation: it catches exporter/loader
-// dialect drift without a PJRT plugin; the on-hardware half
-// (test_serving_programs / serving_check.py) proves execution.
+// row, load the corresponding .npy through the loader's OWN parser
+// (native/src/npy.hpp, shared with pjrt_backend.cpp) and assert dtype,
+// dims, and payload size agree — including the |i1 int8 weight rows of
+// quantized bundles. This is the hermetic half of the serving validation:
+// it catches exporter/loader dialect drift without a PJRT plugin; the
+// on-hardware half (test_serving_programs / serving_check.py) proves
+// execution.
 //
 // Usage: test_bundle_parse <bundle_dir>    (exit 77 = skip, no dir given)
 
@@ -18,7 +19,7 @@
 #include <string>
 #include <vector>
 
-#include "../src/pjrt_backend.hpp"
+#include "../src/npy.hpp"
 
 namespace fs = std::filesystem;
 
@@ -27,6 +28,21 @@ static int element_size(const std::string& dtype) {
   if (dtype == "bfloat16") return 2;
   if (dtype == "uint8" || dtype == "int8") return 1;
   return 0;
+}
+
+// "d0,d1,..." -> dims; false on any non-numeric token ("" -> scalar, ok).
+static bool parse_dims(const std::string& s, std::vector<int64_t>* out) {
+  out->clear();
+  if (s.empty()) return true;
+  std::stringstream ds(s);
+  std::string tok;
+  while (std::getline(ds, tok, ',')) {
+    if (tok.empty() ||
+        tok.find_first_not_of("0123456789") != std::string::npos)
+      return false;
+    out->push_back(std::stoll(tok));
+  }
+  return true;
 }
 
 int main(int argc, char** argv) {
@@ -44,10 +60,17 @@ int main(int argc, char** argv) {
       continue;
     const std::string prog = fname.substr(0, fname.size() - suffix.size());
     std::ifstream spec(ent.path());
-    std::string kind, dtype, dims;
+    std::string line;
     int in_idx = 0, out_idx = 0;
     ++programs;
-    while (spec >> kind >> dtype >> dims) {
+    // Line-based parse: a row is "kind dtype dims" where dims may be empty
+    // for a scalar — token-stream >> would desync across lines there.
+    while (std::getline(spec, line)) {
+      if (line.empty()) continue;
+      std::stringstream ls(line);
+      std::string kind, dtype, dims;
+      ls >> kind >> dtype;
+      ls >> dims;  // may legitimately fail (scalar row: empty dims)
       std::string npy;
       if (kind.rfind("in", 0) == 0) {
         npy = prog + ".in" + std::to_string(in_idx++) + ".npy";
@@ -58,37 +81,35 @@ int main(int argc, char** argv) {
                      fname.c_str(), kind.c_str());
         return 1;
       }
-      std::string info = dlimg_pjrt::debug_npy_info((dir / npy).string());
-      if (info.empty()) {
-        std::fprintf(stderr, "FATAL: loader cannot parse %s (spec row "
-                     "'%s %s %s')\n", npy.c_str(), kind.c_str(),
-                     dtype.c_str(), dims.c_str());
+      std::vector<int64_t> want_dims;
+      if (dtype.empty() || !parse_dims(dims, &want_dims)) {
+        std::fprintf(stderr, "FATAL: %s: malformed spec row '%s'\n",
+                     fname.c_str(), line.c_str());
         return 1;
       }
-      std::stringstream ss(info);
-      std::string got_dtype, got_dims;
-      size_t got_bytes = 0;
-      ss >> got_dtype >> got_dims >> got_bytes;
-      if (got_dtype != dtype) {
+      dlimg_npy::Npy got;
+      std::string err;
+      if (!dlimg_npy::load_npy((dir / npy).string(), &got, &err)) {
+        std::fprintf(stderr, "FATAL: loader cannot parse %s: %s\n",
+                     npy.c_str(), err.c_str());
+        return 1;
+      }
+      if (got.dtype != dtype) {
         std::fprintf(stderr, "FATAL: %s: dtype %s != spec %s\n", npy.c_str(),
-                     got_dtype.c_str(), dtype.c_str());
+                     got.dtype.c_str(), dtype.c_str());
         return 1;
       }
-      // Scalars: the spec writes an empty dim list as "" (never happens
-      // today) and the parser reports "-"; dims otherwise match verbatim.
-      if (got_dims != dims && !(got_dims == "-" && dims.empty())) {
-        std::fprintf(stderr, "FATAL: %s: dims %s != spec %s\n", npy.c_str(),
-                     got_dims.c_str(), dims.c_str());
+      if (got.shape != want_dims) {
+        std::fprintf(stderr, "FATAL: %s: dims mismatch vs spec '%s'\n",
+                     npy.c_str(), dims.c_str());
         return 1;
       }
       int64_t n = 1;
-      std::stringstream ds(dims);
-      std::string tok;
-      while (std::getline(ds, tok, ',')) n *= std::stoll(tok);
+      for (int64_t d : want_dims) n *= d;
       const size_t want = size_t(n) * element_size(dtype);
-      if (got_bytes != want) {
+      if (got.data.size() != want) {
         std::fprintf(stderr, "FATAL: %s: payload %zu bytes != %zu\n",
-                     npy.c_str(), got_bytes, want);
+                     npy.c_str(), got.data.size(), want);
         return 1;
       }
       ++rows;

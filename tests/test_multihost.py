@@ -34,6 +34,44 @@ def _worker_env() -> dict:
     return env
 
 
+def test_global_mesh_explicit_dp():
+    """An explicit dp with tp unset derives tp = n // dp instead of letting
+    the tp heuristic break the factorisation."""
+    import jax
+
+    from dlimgedit_tpu.parallel.multihost import global_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = global_mesh(dp=8, devices=devs[:8])
+    assert dict(mesh.shape) == {"dp": 8, "tp": 1}
+    mesh = global_mesh(dp=2, devices=devs[:8])
+    assert dict(mesh.shape) == {"dp": 2, "tp": 4}
+
+
+def test_local_rows_rejects_trailing_axis_sharding():
+    """local_rows dedups by leading index; a trailing-axis (tp) sharding
+    would make that silently wrong, so it must raise instead."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dlimgedit_tpu.parallel.mesh import make_mesh
+    from dlimgedit_tpu.parallel.multihost import local_rows
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = make_mesh(8, dp=4, tp=2, devices=devs[:8])
+    x = np.arange(4 * 8, dtype=np.float32).reshape(4, 8)
+    ok = jax.device_put(x, NamedSharding(mesh, P("dp", None)))
+    np.testing.assert_array_equal(local_rows(ok), x)
+    bad = jax.device_put(x, NamedSharding(mesh, P("dp", "tp")))
+    with pytest.raises(ValueError, match="leading-axis"):
+        local_rows(bad)
+
+
 def test_two_process_mesh_encode_and_train(tmp_path):
     port = _free_port()
     env = _worker_env()

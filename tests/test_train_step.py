@@ -99,6 +99,15 @@ def test_lr_schedule_shape():
     assert float(sched(0)) < 1e-4          # warmup starts near 0
     np.testing.assert_allclose(float(sched(4)), 1e-3, rtol=1e-6)  # peak
     assert float(sched(19)) < float(sched(10)) < 1e-3  # cosine decays
+    # decay_steps counts AFTER warmup: warmup-only holds peak forever
+    # (optax's own warmup_cosine_decay_schedule would zero the lr here).
+    hold = learning_rate_schedule(TrainConfig(learning_rate=1e-3,
+                                              warmup_steps=4))
+    np.testing.assert_allclose(float(hold(1000)), 1e-3, rtol=1e-6)
+    # And a short decay after a long warmup decays over decay_steps, not 1.
+    short = learning_rate_schedule(TrainConfig(
+        learning_rate=1e-3, warmup_steps=100, decay_steps=10))
+    assert float(short(104)) > 1e-4  # mid-decay, nowhere near zero yet
     # Constant config returns the plain scalar.
     assert learning_rate_schedule(TrainConfig()) == TrainConfig().learning_rate
 

@@ -102,7 +102,12 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    dev = jax.devices()[0]
+    # --backend cpu must also pick the CPU DEVICE: the axon plugin ignores
+    # JAX_PLATFORMS (CLAUDE.md), so on a TPU-attached host jax.devices()[0]
+    # is the tunneled TPU and every device_put/lower below would compile
+    # for it regardless of the Environment's backend choice.
+    dev = (jax.devices("cpu")[0] if getattr(args, "backend", "gpu") == "cpu"
+           else jax.devices()[0])
     print(f"device: {dev} ({dev.platform})", flush=True)
     flat = {k: v for k, v in _captured.items()
             if isinstance(v, (str, int, float, bool))}
