@@ -348,6 +348,14 @@ def _run():
         "tunnel_mask_ms": round(tunnel_mask_ms, 3),
         "tunnel_sync_floor_ms": round(sync_floor_ms, 3),
         "platform": platform,
+        # On the CPU-fallback path (dead TPU relay — this line is then a
+        # CPU measurement, NOT the chip's), point the reader at the last
+        # real-chip record instead of letting the number stand alone.
+        **({} if platform != "cpu" else {
+            "note": "TPU relay unreachable; CPU fallback. Last real v5e "
+                    "record: process 8.56 ms (5.8x), compute_mask 0.89 ms "
+                    "(13.5x) — BENCH_NOTES.md round 3.",
+        }),
     }))
 
 
