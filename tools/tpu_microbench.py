@@ -133,13 +133,26 @@ def cmd_encoders(dev):
     print(f"mask decode (single prompt): {ms:7.3f} ms", flush=True)
 
 
-def cmd_batch(dev):
+def cmd_batch(dev, quant="none", variant="mobile_sam"):
+    """Batched encode/decode throughput; --quant w8|w8a8 quantises the
+    encoder exactly the way the Environment does (scales from f32 weights,
+    THEN the bf16 cast; cast_tree leaves w_q/w_scale untouched) — the
+    round-4 A/B for int8 serving at batch > 1 (round-2 data: no win at
+    batch 1; the s8 x s8 MXU rate should start paying once the matmuls are
+    batch-bound)."""
     from dlimgedit_tpu.models import sam as sam_lib
     from dlimgedit_tpu.parallel.batch import decode_prompt_batch
 
-    cfg = sam_lib.make_config("mobile_sam")
-    p = jax.device_put(_bf16(sam_lib.init_sam(jax.random.PRNGKey(0), cfg)),
-                       dev)
+    cfg = sam_lib.make_config(variant)
+    raw = sam_lib.init_sam(jax.random.PRNGKey(0), cfg)
+    if quant != "none":
+        from dlimgedit_tpu.ops.quant import quantize_encoder
+
+        raw = dict(raw)
+        raw["encoder"] = quantize_encoder(raw["encoder"],
+                                          act_int8=(quant == "w8a8"))
+        print(f"encoder quantised: {quant}", flush=True)
+    p = jax.device_put(_bf16(raw), dev)
     for B in (1, 2, 4, 8):
         x = jax.device_put((jax.random.normal(
             jax.random.PRNGKey(1), (B, 1024, 1024, 3)) * 0.5
@@ -487,16 +500,24 @@ def main(argv=None) -> int:
     ap.add_argument("command", choices=["encoders", "batch", "attention",
                                         "tinyvit-stages", "mfu", "birefnet",
                                         "vit-prefix"])
-    ap.add_argument("--variant", default="vit_h",
-                    help="mfu: encoder variant (vit_b/vit_l/vit_h)")
+    ap.add_argument("--variant", default=None,
+                    help="encoder variant (mfu/vit-prefix default vit_h; "
+                         "batch defaults mobile_sam)")
+    ap.add_argument("--quant", default="none", choices=["none", "w8", "w8a8"],
+                    help="batch: quantise the encoder (Environment-exact "
+                         "flow) before the sweep")
     args = ap.parse_args(argv)
     dev = jax.devices()[0]
     print(f"device: {dev} (platform {dev.platform})", flush=True)
     if args.command == "mfu":
-        cmd_mfu(dev, args.variant)
+        cmd_mfu(dev, args.variant or "vit_h")
         return 0
     if args.command == "vit-prefix":
-        cmd_vit_prefix(dev, args.variant)
+        cmd_vit_prefix(dev, args.variant or "vit_h")
+        return 0
+    if args.command == "batch":
+        cmd_batch(dev, quant=args.quant,
+                  variant=args.variant or "mobile_sam")
         return 0
     {"encoders": cmd_encoders, "batch": cmd_batch,
      "attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages,
