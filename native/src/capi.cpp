@@ -28,6 +28,8 @@
 #include <algorithm>
 #include <cstdlib>
 #include <cstring>
+#include <exception>
+#include <map>
 #include <mutex>
 #include <string>
 #include <vector>
@@ -52,6 +54,23 @@ namespace {
 thread_local std::string g_last_error;
 
 void set_error(std::string msg) { g_last_error = std::move(msg); }
+
+// Exception -> error-code bridge (the reference's try_, dlimgedit.cpp:31-40):
+// nothing may throw across the extern-C function table — a std::stoi on a
+// corrupt serving.txt or a bad_alloc in a codec would otherwise terminate
+// the embedding process.
+template <typename F>
+dlimg_Result try_(F&& f) {
+    try {
+        return f();
+    } catch (std::exception const& e) {
+        set_error(e.what());
+        return dlimg_error;
+    } catch (...) {
+        set_error("unknown C++ exception");
+        return dlimg_error;
+    }
+}
 
 // ---------------------------------------------------------------------------
 // Embedded interpreter management
@@ -164,6 +183,18 @@ namespace {
 // Native serving mode (PJRT C API, no Python on the hot path)
 // ---------------------------------------------------------------------------
 
+// Pooled per-bucket staging canvas, NOT re-zeroed between calls — the
+// device programs mask stale bytes via the resampling matrices, the same
+// guarantee the Python hot path relies on (ops/preprocess.staging_canvas,
+// "pooled no-zero staging canvases"). A fresh 3 MB alloc + memset per call
+// would roughly double the measured ~0.85 ms pack budget.
+std::vector<uint8_t>& staging_canvas(int bucket) {
+    thread_local std::map<int, std::vector<uint8_t>> pool;
+    auto& c = pool[bucket];
+    c.resize(size_t(bucket) * bucket * 3);  // zero-fills on FIRST use only
+    return c;
+}
+
 // Channel-index maps, mirroring dlimgedit_tpu.types.RGB_CHANNEL_MAP
 // (create_image_tensor, reference segmentation.cpp:81-97).
 void rgb_map(int channels, int* c, int m[3]) {
@@ -199,7 +230,7 @@ dlimg_Result pjrt_process(dlimg_Segmentation* out, dlimg_ImageView const* img,
     int c, m[3];
     rgb_map(img->channels, &c, m);
     int64_t stride = img->stride ? img->stride : int64_t(w) * c;
-    std::vector<uint8_t> canvas(size_t(bucket) * bucket * 3, 0);
+    std::vector<uint8_t>& canvas = staging_canvas(bucket);
     dlimg_hostops_pack_rgb(img->pixels, stride, h, w, c, m[0], m[1], m[2],
                            canvas.data(), int64_t(bucket) * 3, 0);
     int32_t sizes[4] = {h, w, th, tw};
@@ -217,6 +248,11 @@ dlimg_Result pjrt_process(dlimg_Segmentation* out, dlimg_ImageView const* img,
     std::string err;
     if (!dlimg_pjrt::run(be, name, args, &outs, &err)) {
         set_error(err);
+        return dlimg_error;
+    }
+    if (outs.empty()) {
+        set_error(name + ": bundle program returned no outputs (stale or "
+                         "mismatched serving bundle)");
         return dlimg_error;
     }
     auto* seg = new dlimg_Segmentation_{};
@@ -292,6 +328,13 @@ dlimg_Result pjrt_get_mask(dlimg_Segmentation seg, int const* point,
         set_error(err);
         return dlimg_error;
     }
+    if (outs.size() < 2) {  // packed mask + iou expected
+        for (auto* o : outs) dlimg_pjrt::release(be, o);
+        set_error(name + ": decode program returned " +
+                  std::to_string(outs.size()) + " outputs, expected 2 "
+                  "(stale or mismatched serving bundle)");
+        return dlimg_error;
+    }
     int n_masks = single ? 1 : 3;
     size_t row_bytes = size_t(seg->bucket) / 8;
     std::vector<uint8_t> packed(size_t(n_masks) * seg->bucket * row_bytes);
@@ -352,7 +395,7 @@ dlimg_Result pjrt_segment_objects(dlimg_ImageView const* img,
     int c, m[3];
     rgb_map(img->channels, &c, m);
     int64_t stride = img->stride ? img->stride : int64_t(w) * c;
-    std::vector<uint8_t> canvas(size_t(best->bucket) * best->bucket * 3, 0);
+    std::vector<uint8_t>& canvas = staging_canvas(best->bucket);
     dlimg_hostops_pack_rgb(img->pixels, stride, h, w, c, m[0], m[1], m[2],
                            canvas.data(), int64_t(best->bucket) * 3, 0);
     int32_t sizes[2] = {h, w};
@@ -369,6 +412,11 @@ dlimg_Result pjrt_segment_objects(dlimg_ImageView const* img,
     std::string err;
     if (!dlimg_pjrt::run(be, name, args, &outs, &err)) {
         set_error(err);
+        return dlimg_error;
+    }
+    if (outs.empty()) {
+        set_error(name + ": bundle program returned no outputs (stale or "
+                         "mismatched serving bundle)");
         return dlimg_error;
     }
     int S = best->resolution;
@@ -390,20 +438,30 @@ dlimg_Result pjrt_segment_objects(dlimg_ImageView const* img,
 // ---------------------------------------------------------------------------
 
 int api_is_backend_supported(dlimg_Backend backend) {
-    if (std::getenv("DLIMG_PJRT_BUNDLE") && backend == dlimg_gpu)
-        return 1;  // serving bundles are exported for the accelerator
-    if (!PyRuntime::get().ensure()) return 0;
-    Gil gil;
-    PyObject* r = bridge_call("backend_supported",
-                              Py_BuildValue("(i)", int(backend)));
-    if (!r) return 0;
-    int ok = PyObject_IsTrue(r);
-    Py_DECREF(r);
-    return ok;
+    if (std::getenv("DLIMG_PJRT_BUNDLE")) {
+        // Serving mode answers WITHOUT touching Python: bundles are
+        // exported for the accelerator, and a capability probe must not
+        // boot the embedded interpreter (Python-free deployments have no
+        // libpython environment to boot — Py_InitializeEx would abort).
+        return backend == dlimg_gpu ? 1 : 0;
+    }
+    try {
+        if (!PyRuntime::get().ensure()) return 0;
+        Gil gil;
+        PyObject* r = bridge_call("backend_supported",
+                                  Py_BuildValue("(i)", int(backend)));
+        if (!r) return 0;
+        int ok = PyObject_IsTrue(r);
+        Py_DECREF(r);
+        return ok;
+    } catch (...) {
+        return 0;
+    }
 }
 
 dlimg_Result api_create_environment(dlimg_Environment* out,
                                     dlimg_Options const* opts) {
+  return try_([&]() -> dlimg_Result {
     if (const char* bundle = std::getenv("DLIMG_PJRT_BUNDLE")) {
         // Native serving mode: the whole SAM hot path runs through the
         // PJRT C API; Python stays uninitialised unless segment_objects
@@ -430,6 +488,7 @@ dlimg_Result api_create_environment(dlimg_Environment* out,
     env->obj = r;
     *out = env;
     return dlimg_success;
+  });
 }
 
 void api_destroy_environment(dlimg_Environment env) {
@@ -444,6 +503,7 @@ void api_destroy_environment(dlimg_Environment env) {
 
 dlimg_Result api_process(dlimg_Segmentation* out, dlimg_ImageView const* img,
                          dlimg_Environment env) {
+  return try_([&]() -> dlimg_Result {
     if (env->pjrt) return pjrt_process(out, img, env);
     Gil gil;
     PyObject* r = bridge_call(
@@ -457,11 +517,13 @@ dlimg_Result api_process(dlimg_Segmentation* out, dlimg_ImageView const* img,
     seg->height = img->height;
     *out = seg;
     return dlimg_success;
+  });
 }
 
 dlimg_Result api_get_mask(dlimg_Segmentation seg, int const* point,
                           int const* region, uint8_t** out_masks,
                           float* out_accuracies) {
+  return try_([&]() -> dlimg_Result {
     if (seg->pjrt)
         return pjrt_get_mask(seg, point, region, out_masks, out_accuracies);
     Gil gil;
@@ -482,6 +544,7 @@ dlimg_Result api_get_mask(dlimg_Segmentation seg, int const* point,
     if (!r) return dlimg_error;
     Py_DECREF(r);
     return dlimg_success;
+  });
 }
 
 void api_get_extent(dlimg_Segmentation seg, int* out_extent) {
@@ -501,6 +564,7 @@ void api_destroy_segmentation(dlimg_Segmentation seg) {
 
 dlimg_Result api_segment_objects(dlimg_ImageView const* img, uint8_t* out_mask,
                                  dlimg_Environment env) {
+  return try_([&]() -> dlimg_Result {
     if (env->pjrt) return pjrt_segment_objects(img, out_mask, env);
     Gil gil;
     PyObject* r = bridge_call(
@@ -512,10 +576,12 @@ dlimg_Result api_segment_objects(dlimg_ImageView const* img, uint8_t* out_mask,
     if (!r) return dlimg_error;
     Py_DECREF(r);
     return dlimg_success;
+  });
 }
 
 dlimg_Result api_load_image(char const* filepath, int* out_extent,
                             int* out_channels, uint8_t** out_pixels) {
+  return try_([&]() -> dlimg_Result {
     // Native codec path first (libpng/libjpeg + built-in BMP/TGA): no
     // Python involved, mirroring the reference's stb layer
     // (/root/reference/src/image.cpp:11-23). The bridge remains a fallback
@@ -566,9 +632,11 @@ dlimg_Result api_load_image(char const* filepath, int* out_extent,
     *out_channels = c;
     *out_pixels = buf;
     return dlimg_success;
+  });
 }
 
 dlimg_Result api_save_image(dlimg_ImageView const* img, char const* filepath) {
+  return try_([&]() -> dlimg_Result {
     // Native PNG encoder (libpng) for the reference-supported channel
     // orders mask/rgb/rgba (image.cpp:25-35); bgra/argb and libpng-less
     // builds fall through to the bridge (which also rejects bgra/argb,
@@ -594,6 +662,7 @@ dlimg_Result api_save_image(dlimg_ImageView const* img, char const* filepath) {
     if (!r) return dlimg_error;
     Py_DECREF(r);
     return dlimg_success;
+  });
 }
 
 uint8_t* api_create_image(int width, int height, int channels) {

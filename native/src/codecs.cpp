@@ -45,7 +45,12 @@ uint8_t* load_png(std::FILE* f, int* w, int* h, int* channels,
     png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                              nullptr, nullptr);
     png_infop info = png ? png_create_info_struct(png) : nullptr;
-    uint8_t* out = nullptr;
+    // Locals written between setjmp and a potential longjmp must be
+    // volatile (C11 7.13.2.1 — non-volatile values are indeterminate after
+    // the jump) and must not have destructors (longjmp skips them), hence
+    // malloc'd row pointers instead of a std::vector.
+    uint8_t* volatile out = nullptr;
+    png_bytep* volatile rows = nullptr;
     if (!png || !info) {
         *error = "libpng: allocation failed";
         png_destroy_read_struct(&png, &info, nullptr);
@@ -53,6 +58,7 @@ uint8_t* load_png(std::FILE* f, int* w, int* h, int* channels,
     }
     if (setjmp(png_jmpbuf(png))) {  // libpng error path
         *error = "libpng: decode failed";
+        std::free(rows);
         std::free(out);
         png_destroy_read_struct(&png, &info, nullptr);
         return nullptr;
@@ -66,13 +72,16 @@ uint8_t* load_png(std::FILE* f, int* w, int* h, int* channels,
     // promote GA to RGBA to stay within the {1,3,4} contract).
     png_set_strip_16(png);
     png_set_packing(png);
-    if (png_get_color_type(png, info) == PNG_COLOR_TYPE_PALETTE)
-        png_set_palette_to_rgb(png);
-    if (png_get_color_type(png, info) == PNG_COLOR_TYPE_GRAY &&
-        png_get_bit_depth(png, info) < 8)
+    png_byte const ct = png_get_color_type(png, info);
+    if (ct == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+    if (ct == PNG_COLOR_TYPE_GRAY && png_get_bit_depth(png, info) < 8)
         png_set_expand_gray_1_2_4_to_8(png);
     if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
-    if (png_get_color_type(png, info) == PNG_COLOR_TYPE_GRAY_ALPHA)
+    // GRAY + tRNS becomes gray+alpha (2ch) after tRNS_to_alpha — promote it
+    // to RGBA exactly like GRAY_ALPHA so the {1,3,4} contract holds.
+    if (ct == PNG_COLOR_TYPE_GRAY_ALPHA ||
+        (ct == PNG_COLOR_TYPE_GRAY &&
+         png_get_valid(png, info, PNG_INFO_tRNS)))
         png_set_gray_to_rgb(png);
     png_read_update_info(png, info);
 
@@ -81,15 +90,18 @@ uint8_t* load_png(std::FILE* f, int* w, int* h, int* channels,
     *channels = int(png_get_channels(png, info));
     size_t rowbytes = png_get_rowbytes(png, info);
     out = static_cast<uint8_t*>(std::malloc(rowbytes * *h));
-    if (!out) {
+    rows = static_cast<png_bytep*>(std::malloc(sizeof(png_bytep) * *h));
+    if (!out || !rows) {
         *error = "libpng: allocation failed";
+        std::free(rows);
+        std::free(out);
         png_destroy_read_struct(&png, &info, nullptr);
         return nullptr;
     }
-    std::vector<png_bytep> rows(*h);
     for (int y = 0; y < *h; ++y) rows[y] = out + size_t(y) * rowbytes;
-    png_read_image(png, rows.data());
+    png_read_image(png, rows);
     png_read_end(png, nullptr);
+    std::free(rows);
     png_destroy_read_struct(&png, &info, nullptr);
     return out;
 }
@@ -117,9 +129,13 @@ uint8_t* load_jpeg(std::FILE* f, int* w, int* h, int* channels,
     JpegError jerr;
     cinfo.err = jpeg_std_error(&jerr.mgr);
     jerr.mgr.error_exit = jpeg_error_exit;
-    uint8_t* out = nullptr;
+    // volatile: written between setjmp and a potential longjmp (see
+    // load_png). No destructor-bearing locals in that window either.
+    uint8_t* volatile out = nullptr;
+    uint8_t* volatile crow = nullptr;
     if (setjmp(jerr.jmp)) {
         *error = "libjpeg: decode failed";
+        std::free(crow);
         std::free(out);
         jpeg_destroy_decompress(&cinfo);
         return nullptr;
@@ -127,23 +143,49 @@ uint8_t* load_jpeg(std::FILE* f, int* w, int* h, int* channels,
     jpeg_create_decompress(&cinfo);
     jpeg_stdio_src(&cinfo, f);
     jpeg_read_header(&cinfo, TRUE);
+    // CMYK / Adobe YCCK: libjpeg cannot convert these to RGB itself (its
+    // default would hand back 4-component CMYK that downstream code would
+    // misread as RGBA). Ask for CMYK (YCCK -> CMYK is supported) and
+    // convert manually below, stb-style: Adobe files store the components
+    // inverted, so r = c*k/255 etc.
+    bool const cmyk = cinfo.jpeg_color_space == JCS_CMYK ||
+                      cinfo.jpeg_color_space == JCS_YCCK;
+    if (cmyk) cinfo.out_color_space = JCS_CMYK;
     jpeg_start_decompress(&cinfo);
     *w = int(cinfo.output_width);
     *h = int(cinfo.output_height);
-    *channels = int(cinfo.output_components);  // 1 (gray) or 3 (rgb)
+    *channels = cmyk ? 3 : int(cinfo.output_components);  // 1 (gray) / 3
     size_t rowbytes = size_t(*w) * *channels;
     out = static_cast<uint8_t*>(std::malloc(rowbytes * *h));
-    if (!out) {
+    if (cmyk)
+        crow = static_cast<uint8_t*>(std::malloc(size_t(*w) * 4));
+    if (!out || (cmyk && !crow)) {
         *error = "libjpeg: allocation failed";
+        std::free(crow);
+        std::free(out);
         jpeg_destroy_decompress(&cinfo);
         return nullptr;
     }
     while (cinfo.output_scanline < cinfo.output_height) {
-        JSAMPROW row = out + size_t(cinfo.output_scanline) * rowbytes;
-        jpeg_read_scanlines(&cinfo, &row, 1);
+        uint8_t* dst = out + size_t(cinfo.output_scanline) * rowbytes;
+        if (cmyk) {
+            JSAMPROW row = crow;
+            jpeg_read_scanlines(&cinfo, &row, 1);
+            for (int x = 0; x < *w; ++x) {
+                uint8_t const* s = crow + size_t(x) * 4;
+                unsigned k = s[3];
+                dst[size_t(x) * 3 + 0] = uint8_t((s[0] * k + 127) / 255);
+                dst[size_t(x) * 3 + 1] = uint8_t((s[1] * k + 127) / 255);
+                dst[size_t(x) * 3 + 2] = uint8_t((s[2] * k + 127) / 255);
+            }
+        } else {
+            JSAMPROW row = dst;
+            jpeg_read_scanlines(&cinfo, &row, 1);
+        }
     }
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
+    std::free(crow);
     return out;
 }
 
@@ -184,6 +226,13 @@ uint8_t* load_bmp(std::FILE* f, int* w, int* h, int* channels,
     // only when the palette is the identity gray ramp, else fall back.
     std::vector<uint8_t> palette;
     if (bpp == 8) {
+        // data_off < header+dib would wrap the unsigned subtraction to ~4 GB
+        // (crafted/corrupt files); a palette can be at most 256 BGRA
+        // entries — anything bigger is malformed, not a gray ramp.
+        if (data_off < 14 + dib || data_off - 14 - dib > 256 * 4) {
+            error->clear();  // malformed/exotic -> bridge fallback
+            return nullptr;
+        }
         uint32_t pal_bytes = data_off - 14 - dib;
         palette.resize(pal_bytes);
         if (std::fseek(f, long(14 + dib), SEEK_SET) != 0 ||

@@ -315,18 +315,46 @@ Exec* get_exec(Backend* be, const std::string& name, std::string* err) {
     return nullptr;
   Exec ex;
   ex.exec = dl.loaded_executable;
+  // Failure below must not leak: the loaded executable and any weights
+  // staged so far are not yet in be->execs (destroy() can't see them), and
+  // every retried run() would re-deserialize and re-stage — device memory
+  // would ratchet up until OOM.
+  auto cleanup = [&]() {
+    for (PJRT_Buffer* w : ex.weights) {
+      PJRT_Buffer_Destroy_Args d{};
+      d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      d.buffer = w;
+      be->api->PJRT_Buffer_Destroy(&d);
+    }
+    PJRT_LoadedExecutable_Destroy_Args d{};
+    d.struct_size = PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE;
+    d.executable = ex.exec;
+    be->api->PJRT_LoadedExecutable_Destroy(&d);
+  };
   PJRT_LoadedExecutable_GetExecutable_Args ge{};
   ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
   ge.loaded_executable = ex.exec;
   if (!check(be->api, be->api->PJRT_LoadedExecutable_GetExecutable(&ge),
-             "get exec", err))
+             "get exec", err)) {
+    cleanup();
     return nullptr;
+  }
   PJRT_Executable_NumOutputs_Args no{};
   no.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
   no.executable = ge.executable;
-  if (!check(be->api, be->api->PJRT_Executable_NumOutputs(&no), "num outputs",
-             err))
+  PJRT_Error* no_err = be->api->PJRT_Executable_NumOutputs(&no);
+  // The PJRT_Executable wrapper is only needed for the query; destroy it
+  // on every path (the loaded executable is independent of it).
+  {
+    PJRT_Executable_Destroy_Args d{};
+    d.struct_size = PJRT_Executable_Destroy_Args_STRUCT_SIZE;
+    d.executable = ge.executable;
+    be->api->PJRT_Executable_Destroy(&d);
+  }
+  if (!check(be->api, no_err, "num outputs", err)) {
+    cleanup();
     return nullptr;
+  }
   ex.num_outputs = no.num_outputs;
 
   // <name>.spec.txt (tools/aot_export.py): one line per KEPT argument, in
@@ -346,11 +374,15 @@ Exec* get_exec(Backend* be, const std::string& name, std::string* err) {
         Npy npy;
         std::string path =
             be->dir + "/" + name + ".in" + std::to_string(j) + ".npy";
-        if (!load_npy(path, &npy, err)) return nullptr;
+        if (!load_npy(path, &npy, err)) {
+          cleanup();
+          return nullptr;
+        }
         PJRT_Buffer* wb =
             stage_host(be, npy.data.data(), npy.shape, npy.dtype, err);
         if (!wb) {
           if (err) *err = "weight " + path + ": " + *err;
+          cleanup();
           return nullptr;
         }
         ex.weights.push_back(wb);
@@ -506,6 +538,16 @@ bool validate(Backend* be, const std::string& name, std::string* report,
   }
   std::vector<Buf*> outs;
   if (!run(be, name, args, &outs, err)) return false;
+  if (outs.size() != want.size()) {
+    // A stale spec (interrupted export, .pjrt regenerated without its
+    // spec) would otherwise index want[] out of bounds below.
+    for (Buf* o : outs) release(be, o);
+    if (err)
+      *err = name + ": executable has " + std::to_string(outs.size()) +
+             " outputs but the spec lists " + std::to_string(want.size()) +
+             " (stale bundle? re-run tools/aot_export.py)";
+    return false;
+  }
   // Smallest-output-first fetch (relay first-fetch pathology).
   std::vector<size_t> order(outs.size());
   for (size_t i = 0; i < order.size(); ++i) order[i] = i;

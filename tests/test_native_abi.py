@@ -221,6 +221,43 @@ def test_native_bmp_tga_decode(api, tmp_path, fmt, channels):
     np.testing.assert_array_equal(mine, arr)
 
 
+def test_native_gray_trns_png_promotes_to_rgba(api, tmp_path):
+    """A grayscale PNG with a tRNS chunk becomes gray+alpha (2ch) inside
+    libpng after tRNS_to_alpha; the loader must promote it to RGBA to stay
+    in the {1,3,4} contract instead of erroring (regression: only
+    GRAY_ALPHA files were promoted)."""
+    from PIL import Image as PILImage
+
+    g = np.ascontiguousarray((np.arange(64, dtype=np.uint8) * 3)
+                             .reshape(8, 8))
+    p = tmp_path / "gray_trns.png"
+    PILImage.fromarray(g, mode="L").save(p, transparency=99)
+    mine = _native_load(api, str(p).encode())
+    assert mine.shape == (8, 8, 4)
+    for ch in range(3):
+        np.testing.assert_array_equal(mine[:, :, ch], g)
+    np.testing.assert_array_equal(mine[:, :, 3],
+                                  np.where(g == 99, 0, 255))
+
+
+def test_native_cmyk_jpeg_decodes_to_rgb(api, tmp_path):
+    """CMYK/Adobe-YCCK JPEGs must come back as 3-channel RGB (regression:
+    libjpeg's raw 4-component CMYK was passed through and misread as RGBA).
+    Pillow applies the same Adobe-inverted c*k/255 conversion, so the two
+    decodes agree exactly."""
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(7)
+    arr = np.ascontiguousarray(rng.integers(0, 256, (16, 16, 4),
+                                            dtype=np.uint8))
+    p = tmp_path / "cmyk.jpg"
+    PILImage.fromarray(arr, mode="CMYK").save(p, quality=95)
+    mine = _native_load(api, str(p).encode())
+    assert mine.shape == (16, 16, 3)
+    ref = np.asarray(PILImage.open(p).convert("RGB"))
+    assert np.abs(mine.astype(int) - ref.astype(int)).max() <= 1
+
+
 def test_create_destroy_image(api):
     p = api.create_image(8, 6, 4)
     assert p
