@@ -23,8 +23,7 @@ import numpy as np
 
 from ..types import Extent, ImageView, RGB_CHANNEL_MAP
 from ..utils import hostops
-from .resample import resample_matrix
-from ..models.common import HIGHEST
+from .resample import apply_resample, resample_matrix
 from ..models.sam import SAM_PIXEL_MEAN, SAM_PIXEL_STD
 
 # Canvas buckets: one compiled executable per bucket (SURVEY.md §7 step 2's
@@ -109,10 +108,7 @@ def sam_preprocess(canvas: jnp.ndarray, in_h, in_w, out_h, out_w,
     img = canvas.astype(jnp.float32)
     R = resample_matrix(image_size, S, out_h, in_h, antialias=True)
     C = resample_matrix(image_size, S, out_w, in_w, antialias=True)
-    x = jnp.einsum("ih,hwc->iwc", R, img,
-                   preferred_element_type=jnp.float32, precision=HIGHEST)
-    x = jnp.einsum("iwc,jw->ijc", x, C,
-                   preferred_element_type=jnp.float32, precision=HIGHEST)
+    x = apply_resample(R, C, img)
     mean = jnp.asarray(SAM_PIXEL_MEAN, jnp.float32)
     std = jnp.asarray(SAM_PIXEL_STD, jnp.float32)
     x = (x - mean) / std

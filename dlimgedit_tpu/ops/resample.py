@@ -52,6 +52,19 @@ def resample_matrix(out_bucket: int, in_bucket: int, out_size, in_size,
     return w.astype(dtype)
 
 
+def apply_resample(R: jnp.ndarray, Cm: jnp.ndarray,
+                   img: jnp.ndarray) -> jnp.ndarray:
+    """Apply precomputed row/column resample matrices to (H, W, C) float
+    data — the ONE copy of the separable double-einsum shared by
+    resample_2d, ops/preprocess.sam_preprocess and
+    runtime/birefnet._build_birefnet_fn (a resample fix must never be able
+    to diverge between the SAM and BiRefNet preprocess programs)."""
+    x = jnp.einsum("ih,hwc->iwc", R, img,
+                   preferred_element_type=jnp.float32, precision=HIGHEST)
+    return jnp.einsum("iwc,jw->ijc", x, Cm,
+                      preferred_element_type=jnp.float32, precision=HIGHEST)
+
+
 def resample_2d(img: jnp.ndarray, out_bucket_h: int, out_bucket_w: int,
                 out_h, out_w, in_h, in_w, antialias: bool = False
                 ) -> jnp.ndarray:
@@ -65,9 +78,6 @@ def resample_2d(img: jnp.ndarray, out_bucket_h: int, out_bucket_w: int,
     B, IH, IW, C = img.shape
     R = resample_matrix(out_bucket_h, IH, out_h, in_h, antialias, img.dtype)
     Cm = resample_matrix(out_bucket_w, IW, out_w, in_w, antialias, img.dtype)
-    out = jnp.einsum("ih,bhwc->biwc", R, img,
-                     preferred_element_type=jnp.float32, precision=HIGHEST)
-    out = jnp.einsum("biwc,jw->bijc", out, Cm,
-                     preferred_element_type=jnp.float32,
-                     precision=HIGHEST).astype(img.dtype)
+    out = jax.vmap(lambda im: apply_resample(R, Cm, im))(img)
+    out = out.astype(img.dtype)
     return out[0] if squeeze else out

@@ -17,8 +17,7 @@ from ..image.resize import resize_mask
 from ..models.common import cast_tree
 from ..ops.postprocess import sigmoid_to_u8
 from ..ops.preprocess import pack_rgb_canvas, pick_bucket, staging_canvas
-from ..ops.resample import resample_matrix
-from ..models.common import HIGHEST
+from ..ops.resample import apply_resample, resample_matrix
 from ..types import Channels, Image, ImageView
 from ..utils.pytree_io import load_pytree
 
@@ -91,10 +90,7 @@ def _build_birefnet_fn(bundle: BiRefNetBundle, bucket: int):
         img = canvas.astype(jnp.float32) / 255.0
         R = resample_matrix(S, bucket, S, sizes[0], antialias=True)
         C = resample_matrix(S, bucket, S, sizes[1], antialias=True)
-        x = jnp.einsum("ih,hwc->iwc", R, img,
-                       preferred_element_type=jnp.float32, precision=HIGHEST)
-        x = jnp.einsum("iwc,jw->ijc", x, C,
-                       preferred_element_type=jnp.float32, precision=HIGHEST)
+        x = apply_resample(R, C, img)
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
         x = ((x - mean) / std)[None].astype(bundle.compute_dtype)

@@ -112,10 +112,12 @@ class Environment:
                 self.options.backend):
             raise DlimgError("Accelerator backend requested but no TPU/"
                              "accelerator device is available")
-        self.device = (
-            _accelerator_devices()[0]
-            if self.options.backend != Backend.cpu and is_supported(Backend.gpu)
-            else jax.devices("cpu")[0])
+        # The accelerator case was validated just above; probing again via
+        # jax.devices() would only repeat a call that hangs when the axon
+        # relay is dead (CLAUDE.md environment facts).
+        self.device = (_accelerator_devices()[0]
+                       if self.options.backend != Backend.cpu
+                       else jax.devices("cpu")[0])
         self.compute_dtype = jnp.dtype(self.options.compute_dtype)
         self._sam_models: Dict[str, Lazy] = {v: Lazy() for v in SAM_BUNDLES}
         self._birefnet_models: Dict[str, Lazy] = {
@@ -141,7 +143,10 @@ class Environment:
         pin = path.with_suffix(path.suffix + ".sha256")
         if pin.exists():
             expected = pin.read_text().split()[0].strip()
-            actual = hashlib.sha256(path.read_bytes()).hexdigest()
+            # Chunked digest: read_bytes() would hold the whole multi-GB
+            # bundle in memory on top of the load_pytree that follows.
+            with open(path, "rb") as f:
+                actual = hashlib.file_digest(f, "sha256").hexdigest()
             if actual != expected:
                 raise DlimgError(
                     f"Model bundle {path} failed integrity check: "

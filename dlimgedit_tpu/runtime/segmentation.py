@@ -65,16 +65,27 @@ def _build_embed_fn(bundle):
     return jax.jit(run)
 
 
-def _build_batch_decode_fn(bundle, out_bucket: int):
+def _build_batch_decode_fn(bundle, out_bucket: int,
+                           largest_component: bool = False):
     """N prompts against ONE cached embedding in a single XLA program
-    (BASELINE config 3: batched multi-point decode)."""
+    (BASELINE config 3: batched multi-point decode).
+
+    `largest_component` mirrors compute_mask's Options.largest_region_object
+    semantics per prompt: region prompts are identified INSIDE the program
+    by their first label (2.0, the top-left box label — point prompts carry
+    1.0), so one executable serves any point/region mix."""
     cfg = bundle.cfg
 
     def run(params, emb, points, labels, sizes):
         def one(pc, pl_):
             m, iou = sam_lib.decode_masks(params, cfg, emb, pc[None],
                                           pl_[None], multimask=False)
-            return m[0], iou[0]
+            m0 = m[0]
+            if largest_component:
+                keep = largest_component_mask(m0[0] > 0)
+                is_region = pl_[0] == 2.0
+                m0 = jnp.where(is_region & ~keep, -10.0, m0)
+            return m0, iou[0]
 
         masks, iou = jax.vmap(one)(points, labels)  # (N, 1, L, L)
         logits = upsample_mask_logits(masks[:, 0][None], out_bucket,
@@ -159,9 +170,13 @@ class Segmentation:
             if target != extent:
                 view = host_resize(view, target).view()
             extent_in = view.extent
-            bucket = pick_bucket(extent)  # bucket by ORIGINAL size: masks
-            # at this bucket must cover the original resolution.
-            bucket = max(bucket, pick_bucket(extent_in))
+            # Bucket by the RESIZED extent: the embed canvas only holds the
+            # host-resized (<= image_size) image — the mask-coverage bucket
+            # is the DECODE bucket, derived independently from the original
+            # extent in _decode. Bucketing by the original here staged a
+            # 4096-bucket (48 MB) canvas for a 4000 px input and compiled a
+            # whole extra embed executable.
+            bucket = pick_bucket(extent_in)
             canvas = pack_rgb_canvas(
                 view, bucket, out=staging_canvas(bucket) if pooled else None)
             sizes = np.array([extent_in.height, extent_in.width,
@@ -288,9 +303,12 @@ class Segmentation:
         bucket = pick_bucket(self._original)
         sizes = np.array([self._original.height, self._original.width,
                           self._crop[0], self._crop[1]], np.int32)
+        lcc = (env.options.largest_region_object
+               and any(isinstance(pr, Region) for pr in prompts))
         decode = env.executable(
-            ("decode_batch", self._variant, bucket, padded),
-            lambda: _build_batch_decode_fn(bundle, bucket))
+            ("decode_batch", self._variant, bucket, padded, lcc),
+            lambda: _build_batch_decode_fn(bundle, bucket,
+                                           largest_component=lcc))
         packed, iou = jax.device_get(
             decode(bundle.params, self._embedding, points, labels, sizes))
         packed = packed.reshape(-1, bucket, bucket // 8)

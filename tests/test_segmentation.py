@@ -188,6 +188,48 @@ def test_concurrent_mask_queries(env, seg):
             m.pixels, seg.compute_mask(Point(10 + i * 7, 10 + i * 5)).pixels)
 
 
+def test_batch_region_honours_largest_region_object():
+    """compute_mask_batch must apply Options.largest_region_object to its
+    Region prompts exactly like compute_mask (regression: the batch decode
+    silently skipped the largest-component filter), while Point prompts in
+    the same batch stay raw."""
+    env = Environment(Options(
+        backend=Backend.cpu, allow_random_weights=True,
+        compute_dtype="float32", sam_image_size=64,
+        largest_region_object=True))
+    rng = np.random.default_rng(3)
+    img = Image(Extent(48, 40), Channels.rgb,
+                rng.integers(0, 256, (40, 48, 3), dtype=np.uint8))
+    seg = Segmentation.process(img, env)
+    region = Region(Point(4, 4), Point(40, 32))
+    point = Point(20, 20)
+    batch = seg.compute_mask_batch([region, point])
+    np.testing.assert_array_equal(batch[0].image.pixels,
+                                  seg.compute_mask(region).pixels)
+    np.testing.assert_array_equal(
+        batch[1].image.pixels,
+        seg.compute_mask(point, largest_component=False).pixels)
+
+
+def test_host_mode_buckets_by_resized_extent():
+    """Host preprocess mode stages the already-resized (<= sam_image_size)
+    image, so the embed canvas must bucket by the RESIZED extent (regression:
+    bucketing by the original staged a huge canvas and compiled an extra
+    embed executable per original-size bucket)."""
+    env = Environment(Options(
+        backend=Backend.cpu, allow_random_weights=True,
+        compute_dtype="float32", sam_image_size=64,
+        preprocess_mode="host"))
+    rng = np.random.default_rng(4)
+    img = Image(Extent(300, 200), Channels.rgb,
+                rng.integers(0, 256, (200, 300, 3), dtype=np.uint8))
+    seg = Segmentation.process(img, env)
+    embed_keys = [k for k in env._executables if k[0] == "embed"]
+    assert embed_keys == [("embed", "mobile_sam", 256)], embed_keys
+    mask = seg.compute_mask(Point(150, 100))
+    assert (mask.extent.width, mask.extent.height) == (300, 200)
+
+
 def test_serving_fetched_outputs_are_1d(env):
     """Serving layout rule (BENCH_NOTES round 3): outputs the native shim
     fetches raw through PJRT's ToHostBuffer must be 1-D — XLA assigns
