@@ -195,10 +195,10 @@ def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
         return int8_linear(params, x)
     if "w_q" in params:
         # Weight-only int8 (ops/quant.py): dequant fuses into the matmul
-        # operand read — half the weight HBM traffic of bf16. Expand in f32
-        # and round once so the only error vs f32 weights is the int8 step.
-        w = (params["w_q"].astype(jnp.float32)
-             * params["w_scale"].astype(jnp.float32)).astype(x.dtype)
+        # operand read — half the weight HBM traffic of bf16.
+        from ..ops.quant import dequantize_weight
+
+        w = dequantize_weight(params["w_q"], params["w_scale"], x.dtype)
     else:
         w = params["w"].astype(x.dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32,

@@ -24,9 +24,11 @@ def _bilinear_sample(x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
     """Sample x (B, H, W, C) at float positions (py, px) (B, H', W') with
     bilinear interpolation; taps outside the image contribute zero (the
     torchvision deform_conv2d boundary rule). Reference form (4 gathers);
-    kept as the oracle for `_corner_stack` + `_bilinear_sample_stacked`,
-    which the conv uses (TPU row-gathers are launch-bound, so one gather of
-    4C-wide rows beats four gathers of C-wide rows ~4x)."""
+    kept as the in-repo oracle for `_corner_stack` +
+    `_bilinear_sample_stacked`, which the conv uses (TPU row-gathers are
+    launch-bound, so one gather of 4C-wide rows beats four gathers of
+    C-wide rows ~4x). The two forms are pinned equal by
+    tests/test_ops.py::test_stacked_bilinear_matches_reference_form."""
     B, H, W, C = x.shape
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)

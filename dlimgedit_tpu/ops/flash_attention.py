@@ -61,15 +61,9 @@ def _kernel(q_ref, k_ref, v_ref, bhw_ref, o_ref, *, grid_h: int,
                             preferred_element_type=jnp.float32,
                             precision=prec) * scale
 
-    # Combined one-hot selector: row r < gh selects tokens with y == r,
-    # row gh + r selects tokens with x == r. Arithmetic blend instead of a
-    # boolean where — Mosaic cannot lower odd-shaped i1 vector selects.
-    r = jax.lax.broadcasted_iota(jnp.int32, (grid_h + grid_w, N), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (grid_h + grid_w, N), 1)
-    is_h = (r < grid_h).astype(qn.dtype)
-    m_h = (j // grid_w == r).astype(qn.dtype)
-    m_w = (j % grid_w == r - grid_h).astype(qn.dtype)
-    sel = is_h * m_h + (1.0 - is_h) * m_w
+    # Combined one-hot selector (shared helper — the grouped and head-fused
+    # kernels must always build the IDENTICAL bias expansion).
+    sel = _selector_matrix(grid_h, grid_w, N, qn.dtype)
     s = s + jax.lax.dot_general(bhw_ref[0].astype(qn.dtype), sel,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
@@ -444,7 +438,10 @@ def levit_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray, *,
     bias: (nh, N, N) gathered attention-bias table (static per window size).
     Returns (G, N, nh * kd)."""
     G, N, H = qkv.shape
-    kd = H // num_heads // 3
+    kd, rem = divmod(H, num_heads * 3)
+    assert rem == 0, (
+        f"qkv channel dim {H} is not num_heads({num_heads}) * 3 * kd — "
+        f"the static per-head slices would read shifted q/k/v data")
     return pl.pallas_call(
         functools.partial(_levit_kernel, kd=kd, scale=kd ** -0.5),
         grid=(G,),

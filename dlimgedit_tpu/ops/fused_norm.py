@@ -43,6 +43,24 @@ def _add_ln_kernel(x_ref, d_ref, scale_ref, bias_ref, s_ref, o_ref, *,
     o_ref[...] = y.astype(o_ref.dtype)
 
 
+def _row_blocking(n: int, C: int, block_rows):
+    """(rows per program, padded row count) — the ONE copy of the blocking
+    heuristic shared by both LN entry points so their perf/padding behavior
+    can never diverge. Rows per program: a power of two (multiple of 8, the
+    sublane tile, as Mosaic requires), targeting ~2 MB f32 — swept on v5e at
+    ViT-H geometry (4096, 1280) with 64-deep measurement chains: 256 rows =
+    746 GB/s (91% of HBM peak; 512 rows 603, 1024 rows 618, stock XLA LN
+    569). Clamped by n (a small input must not be zero-padded to ~500x its
+    size); row counts that don't divide — e.g. TinyViT's 361 windows x 49
+    tokens = 17689 rows — are padded up, and padded rows normalise garbage
+    the caller slices off."""
+    target = block_rows or max(8, (2 * 1024 * 1024) // (C * 4))
+    rows = 8
+    while rows * 2 <= target and rows < n:
+        rows *= 2
+    return rows, ((n + rows - 1) // rows) * rows
+
+
 def fused_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                      eps: float = 1e-6, interpret: bool = False,
                      block_rows: int | None = None) -> jnp.ndarray:
@@ -55,20 +73,7 @@ def fused_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     for d in orig_shape[:-1]:
         n *= d
     x2 = x.reshape(n, C)
-    # Rows per program: a power of two (multiple of 8, the sublane tile, as
-    # Mosaic requires), targeting ~2 MB f32 — swept on v5e at ViT-H geometry
-    # (4096, 1280) with 64-deep measurement chains: 256 rows = 746 GB/s
-    # (91% of HBM peak; 512 rows 603, 1024 rows 618, stock XLA LN 569).
-    # Row counts that don't divide — e.g. TinyViT's 361 windows x 49 tokens
-    # = 17689 rows — are padded up; padded rows normalise garbage that is
-    # sliced off afterwards.
-    target = block_rows or max(8, (2 * 1024 * 1024) // (C * 4))
-    rows = 8
-    # Also clamp by n: without it a small input (n=16, C=64 -> target 8192)
-    # would be zero-padded to 8192 rows and run ~500x the needed work.
-    while rows * 2 <= target and rows < n:
-        rows *= 2
-    n_pad = ((n + rows - 1) // rows) * rows
+    rows, n_pad = _row_blocking(n, C, block_rows)
     if n_pad != n:
         x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
     out = pl.pallas_call(
@@ -110,11 +115,7 @@ def fused_add_layer_norm(x: jnp.ndarray, delta: jnp.ndarray,
         n *= d
     x2 = x.reshape(n, C)
     d2 = delta.reshape(n, C)
-    target = block_rows or max(8, (2 * 1024 * 1024) // (C * 4))
-    rows = 8
-    while rows * 2 <= target and rows < n:
-        rows *= 2
-    n_pad = ((n + rows - 1) // rows) * rows
+    rows, n_pad = _row_blocking(n, C, block_rows)
     if n_pad != n:
         x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
         d2 = jnp.pad(d2, ((0, n_pad - n), (0, 0)))

@@ -35,7 +35,13 @@ QUANT_KEYS = frozenset({"qkv", "proj", "fc1", "fc2", "lin1", "lin2"})
 
 
 def quantize_weight(w: jnp.ndarray):
-    """w: (in, out) float -> (w_q int8 (in, out), scale f32 (out,))."""
+    """w: (in, out) float -> (w_q int8 (in, out), scale f32 (out,)).
+
+    Scales are ALWAYS derived from an f32 view of the weights — enforcing
+    the "quantize before the bf16 cast" invariant here rather than relying
+    on every call site's ordering (a bf16-rounded scale silently degrades
+    the quantization)."""
+    w = w.astype(jnp.float32)
     scale = jnp.max(jnp.abs(w), axis=0) / 127.0
     scale = jnp.maximum(scale, 1e-12)
     w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)

@@ -352,3 +352,32 @@ def test_gelu_precision_follows_dtype():
     diff = np.abs(np.asarray(gelu(x16), np.float32)
                   - np.asarray(gelu(x32), np.float32))
     assert diff.max() < 0.035
+
+
+def test_stacked_bilinear_matches_reference_form():
+    """The corner-stacked sampler (one 4C-wide gather; what deform conv
+    runs) must equal the reference 4-gather form for positions spanning
+    in-bounds, boundary-straddling, and fully-out-of-image taps — pins the
+    two in-repo implementations to each other independent of the torch
+    oracle."""
+    import jax.numpy as jnp
+
+    from dlimgedit_tpu.ops.deform import (
+        _bilinear_sample,
+        _bilinear_sample_stacked,
+        _corner_stack,
+    )
+
+    rng = np.random.default_rng(11)
+    B, H, W, C = 2, 7, 9, 5
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    # Positions from well inside to well outside (incl. the [-1, size)
+    # boundary band where partial taps apply).
+    py = jnp.asarray(rng.uniform(-2.5, H + 2.5, (B, 6, 8))
+                     .astype(np.float32))
+    px = jnp.asarray(rng.uniform(-2.5, W + 2.5, (B, 6, 8))
+                     .astype(np.float32))
+    want = np.asarray(_bilinear_sample(x, py, px))
+    got = np.asarray(_bilinear_sample_stacked(_corner_stack(x), py, px, C,
+                                              jnp.float32))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
