@@ -97,6 +97,9 @@ def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2) -> jnp.nda
     which maps straight onto the MXU with no conv-transpose lowering.
     Kernel layout: (k, k, cin, cout) (torch weight.permute(2, 3, 0, 1)).
     """
+    assert stride == w.shape[0], (
+        f"conv_transpose2d implements the k == s case only; got kernel "
+        f"{w.shape[0]} with stride {stride}")
     B, H, W, _ = x.shape
     k = w.shape[0]
     O = w.shape[3]
@@ -176,7 +179,14 @@ def layer_norm(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray
     Statistics use the one-pass E[x^2] - E[x]^2 form so XLA emits a single
     multi-output reduction fusion over x instead of two dependent passes
     (jnp.var needs the mean first) — profiling showed two-pass LN stats were
-    the single largest cost in the big ViT encoders."""
+    the single largest cost in the big ViT encoders.
+
+    Caveat (input-range assumption): the one-pass form cancels
+    catastrophically when |mean| >> std (f32 rounding of mean_sq - mean^2
+    can clamp var to 0, blowing y up by rsqrt(eps)). SAM/Swin activations
+    at every tested scale keep |mean|/std small enough that the parity
+    suites hold; if a future model feeds rows with mean ~1e3 and std <~ 1,
+    switch that path to jnp.var (two-pass) or Welford."""
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -216,13 +226,6 @@ def init_mlp(key, dim, hidden, out=None, dtype=jnp.float32) -> Params:
         "fc1": linear_init(k1, dim, hidden, dtype),
         "fc2": linear_init(k2, hidden, out, dtype),
     }
-
-
-def mlp_ln(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """TinyViT Mlp: LayerNorm -> fc1 -> GELU -> fc2."""
-    y = layer_norm(params["norm"], x)
-    y = gelu(linear(params["fc1"], y))
-    return linear(params["fc2"], y)
 
 
 # ---------------------------------------------------------------------------

@@ -89,7 +89,10 @@ def init_mask_decoder(key, cfg: MaskDecoderConfig = MaskDecoderConfig(),
                       dtype=jnp.float32) -> Params:
     ed = cfg.embed_dim
     ks = jax.random.split(key, 10)
-    blocks = [_init_twoway_block(ks[i], cfg, dtype) for i in range(cfg.depth)]
+    # Blocks draw from a dedicated split: indexing ks[i] directly would
+    # collide with the token/upscale/hypernet keys below for depth > 2.
+    bks = jax.random.split(ks[0], cfg.depth)
+    blocks = [_init_twoway_block(bks[i], cfg, dtype) for i in range(cfg.depth)]
     kups = jax.random.split(ks[4], 2)
     nmt = cfg.num_mask_tokens
     khyp = jax.random.split(ks[5], nmt)
@@ -224,9 +227,11 @@ def predict_masks(params: Params, image_embedding: jnp.ndarray,
 
     src = src.reshape(B, H, W, C)
     up = params["upscale"]
-    x = conv_transpose2d(src, up["conv1"]["w"].astype(src.dtype)) + up["conv1"]["b"]
+    x = (conv_transpose2d(src, up["conv1"]["w"].astype(src.dtype))
+         + up["conv1"]["b"].astype(src.dtype))
     x = gelu(layer_norm(up["ln"], x, eps=1e-6))
-    x = conv_transpose2d(x, up["conv2"]["w"].astype(x.dtype)) + up["conv2"]["b"]
+    x = (conv_transpose2d(x, up["conv2"]["w"].astype(x.dtype))
+         + up["conv2"]["b"].astype(x.dtype))
     x = gelu(x)  # (B, 4H, 4W, C/8)
 
     hyper_in = jnp.stack(

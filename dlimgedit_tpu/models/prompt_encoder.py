@@ -111,11 +111,16 @@ def embed_masks(params: Params, cfg: PromptEncoderConfig,
     learned no-mask embedding, exactly like the ONNX graph."""
     md = params["mask_downscaling"]
     x = mask_input
-    x = conv2d(x, md["conv1"]["w"].astype(x.dtype), stride=2) + md["conv1"]["b"]
+    # Bias adds cast to the activation dtype — an f32 bias against a bf16
+    # activation would silently promote the rest of the decode to f32.
+    x = (conv2d(x, md["conv1"]["w"].astype(x.dtype), stride=2)
+         + md["conv1"]["b"].astype(x.dtype))
     x = gelu(layer_norm(md["ln1"], x, eps=1e-6))
-    x = conv2d(x, md["conv2"]["w"].astype(x.dtype), stride=2) + md["conv2"]["b"]
+    x = (conv2d(x, md["conv2"]["w"].astype(x.dtype), stride=2)
+         + md["conv2"]["b"].astype(x.dtype))
     x = gelu(layer_norm(md["ln2"], x, eps=1e-6))
-    x = conv2d(x, md["conv3"]["w"].astype(x.dtype)) + md["conv3"]["b"]
+    x = (conv2d(x, md["conv3"]["w"].astype(x.dtype))
+         + md["conv3"]["b"].astype(x.dtype))
     no_mask = params["no_mask_embed"][0].astype(x.dtype)
     hm = jnp.reshape(has_mask.astype(x.dtype), (-1, 1, 1, 1))
     return hm * x + (1.0 - hm) * no_mask

@@ -49,6 +49,12 @@ class SamConfig:
     prompt: PromptEncoderConfig = PromptEncoderConfig()
     decoder: MaskDecoderConfig = MaskDecoderConfig()
 
+    def __post_init__(self):
+        if self.encoder_tiny is None and self.encoder_vit is None:
+            raise ValueError(
+                "SamConfig needs exactly one encoder config (encoder_tiny "
+                "or encoder_vit) — build configs via sam.make_config()")
+
     @property
     def embedding_size(self) -> int:
         return self.prompt.image_embedding_size
@@ -113,10 +119,15 @@ def decode_masks(params: Params, cfg: SamConfig, image_embedding: jnp.ndarray,
     """
     B = image_embedding.shape[0]
     s = cfg.mask_input_size
+    # has_mask defaults to MATCH mask_input: ones when a mask was supplied
+    # (otherwise an iterative-refinement caller's mask would be silently
+    # blended away), zeros for the standard no-mask prompt.
+    if has_mask is None:
+        has_mask = (jnp.zeros((B,), image_embedding.dtype)
+                    if mask_input is None
+                    else jnp.ones((B,), image_embedding.dtype))
     if mask_input is None:
         mask_input = jnp.zeros((B, s, s, 1), image_embedding.dtype)
-    if has_mask is None:
-        has_mask = jnp.zeros((B,), image_embedding.dtype)
 
     pe_params = params["prompt_encoder"]
     sparse = embed_points(pe_params, cfg.prompt, point_coords, point_labels)

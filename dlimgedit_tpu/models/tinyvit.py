@@ -114,7 +114,7 @@ def _init_attention(key, dim: int, num_heads: int, window: int, dtype) -> Params
     key_dim = dim // num_heads
     d = key_dim  # attn_ratio = 1
     h = (2 * key_dim + d) * num_heads
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2 = jax.random.split(key)
     _, n_off = attention_bias_idxs(window)
     return {
         "norm": init_layer_norm(dim, dtype),

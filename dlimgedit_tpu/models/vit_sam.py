@@ -137,6 +137,16 @@ def init_sam_vit(key, cfg: SamViTConfig, dtype=jnp.float32) -> Params:
 # Apply
 # ---------------------------------------------------------------------------
 
+def gather_rel_pos(table: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(2*size-1, hd) raw rel-pos table -> gathered (size, size, hd) with
+    g[i, j] = table[i - j + size - 1] (equal q/k sizes). The ONE copy of the
+    index-table gather used by every attention path in this file (dense,
+    Pallas, fused-window) — ops/flash_attention._gathered_tables mirrors it
+    for callers passing raw tables."""
+    idx = np.arange(size)[:, None] - np.arange(size)[None, :] + (size - 1)
+    return jnp.take(table, jnp.asarray(idx), axis=0)
+
+
 def _decomposed_rel_pos_bias(q: jnp.ndarray, rel_pos_h: jnp.ndarray,
                              rel_pos_w: jnp.ndarray, h: int, w: int
                              ) -> jnp.ndarray:
@@ -144,11 +154,8 @@ def _decomposed_rel_pos_bias(q: jnp.ndarray, rel_pos_h: jnp.ndarray,
 
     q: (B*, nh, h*w, hd). rel_pos_*: (2*size-1, hd) with size == h (== w).
     Returns bias (B*, nh, h*w, h*w)."""
-    # Equal q/k sizes: index table is simply (i - j + size - 1).
-    idx_h = np.arange(h)[:, None] - np.arange(h)[None, :] + (h - 1)
-    idx_w = np.arange(w)[:, None] - np.arange(w)[None, :] + (w - 1)
-    rh = jnp.take(rel_pos_h, jnp.asarray(idx_h), axis=0)  # (h, h, hd)
-    rw = jnp.take(rel_pos_w, jnp.asarray(idx_w), axis=0)  # (w, w, hd)
+    rh = gather_rel_pos(rel_pos_h, h)  # (h, h, hd)
+    rw = gather_rel_pos(rel_pos_w, w)  # (w, w, hd)
     Bn, nh, _, hd = q.shape
     qr = q.reshape(Bn, nh, h, w, hd)
     bias_h = jnp.einsum("bnhwc,hkc->bnhwk", qr, rh.astype(q.dtype),
@@ -173,10 +180,8 @@ def _vit_attention(params: Params, x: jnp.ndarray, num_heads: int,
         # Pallas kernel: bias reconstructed in-tile, nothing quadratic in HBM.
         from ..ops.flash_attention import flash_attention_relpos
 
-        idx_h = np.arange(h)[:, None] - np.arange(h)[None, :] + (h - 1)
-        idx_w = np.arange(w)[:, None] - np.arange(w)[None, :] + (w - 1)
-        rh = jnp.take(params["rel_pos_h"], jnp.asarray(idx_h), axis=0)
-        rw = jnp.take(params["rel_pos_w"], jnp.asarray(idx_w), axis=0)
+        rh = gather_rel_pos(params["rel_pos_h"], h)
+        rw = gather_rel_pos(params["rel_pos_w"], w)
         out = flash_attention_relpos(
             q.reshape(Bn * num_heads, h * w, hd),
             k.reshape(Bn * num_heads, h * w, hd),
@@ -201,9 +206,7 @@ def _vit_attention(params: Params, x: jnp.ndarray, num_heads: int,
 
 def _layer_norm(params: Params, x: jnp.ndarray, cfg: SamViTConfig
                 ) -> jnp.ndarray:
-    use_fused = (cfg.use_flash_attention if cfg.fused_layer_norm is None
-                 else cfg.fused_layer_norm)
-    if use_fused:  # TPU fused-kernel mode
+    if _use_fused_ln(cfg):  # TPU fused-kernel mode
         from ..ops.fused_norm import fused_layer_norm
 
         return fused_layer_norm(x, params["scale"], params["bias"],
@@ -273,10 +276,8 @@ def _vit_attn_branch(params: Params, x: jnp.ndarray, cfg: SamViTConfig,
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         qkv = linear(params["qkv"], x)  # (B, H+pad, W+pad, 3C)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        idx = np.arange(window)[:, None] - np.arange(window)[None, :] \
-            + window - 1
-        rh = jnp.take(params["rel_pos_h"], jnp.asarray(idx), axis=0)
-        rw = jnp.take(params["rel_pos_w"], jnp.asarray(idx), axis=0)
+        rh = gather_rel_pos(params["rel_pos_h"], window)
+        rw = gather_rel_pos(params["rel_pos_w"], window)
         att = windowed_attention_fused(q, k, v, rh.astype(q.dtype),
                                        rw.astype(q.dtype), ws=window,
                                        num_heads=cfg.num_heads,
