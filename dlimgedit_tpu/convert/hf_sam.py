@@ -21,7 +21,11 @@ import numpy as np
 
 
 def _t(x) -> np.ndarray:
-    return np.asarray(x.detach().cpu().numpy(), dtype=np.float32)
+    # Accept plain-numpy state dicts like the sibling converters' _np
+    # (mobile_sam.py / birefnet.py) — safetensors loaders yield arrays.
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
 
 
 def _lin(sd, prefix) -> Dict[str, np.ndarray]:

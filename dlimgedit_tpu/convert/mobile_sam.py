@@ -262,7 +262,16 @@ def main(argv=None):
     variant = argv[2] if len(argv) > 2 else "mobile_sam"
     import torch
 
-    sd = torch.load(src, map_location="cpu")
+    # Tensors-only load first (no pickle code execution — the safe default
+    # and torch>=2.6's); full-nn.Module checkpoints need the unsafe loader,
+    # taken only as an explicit, warned fallback.
+    try:
+        sd = torch.load(src, map_location="cpu", weights_only=True)
+    except Exception:
+        print(f"note: {src} is not a plain state dict; falling back to the "
+              f"full unpickler (only convert checkpoints you trust)",
+              file=sys.stderr)
+        sd = torch.load(src, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     params = convert_checkpoint(sd, variant)

@@ -32,8 +32,17 @@ def load_image(filepath: str) -> Image:
             # palette images decode to their underlying mode's channel count.
             if im.mode == "P":
                 im = im.convert("RGBA" if "transparency" in im.info else "RGB")
+            elif im.mode in ("I", "I;16", "I;16B", "I;16L", "I;16N"):
+                # 16/32-bit integer grays: stb's 16->8 semantics keep the
+                # HIGH byte. PIL's .convert() would CLIP at 255 instead —
+                # a full-range 16-bit scan came out 99.6% pure white.
+                wide = np.asarray(im)
+                shift = 8 if wide.dtype.itemsize == 2 else 24
+                im = PILImage.fromarray(
+                    np.clip(wide >> shift, 0, 255).astype(np.uint8), "L")
             elif im.mode not in ("L", "RGB", "RGBA"):
-                # 16-bit / float modes: normalize to 8-bit RGB(A)
+                # gray+alpha promotes to RGBA (matching the native libpng
+                # shim's GA promotion); everything else to 8-bit RGB.
                 im = im.convert("RGBA" if im.mode in ("LA", "PA") else "RGB")
             arr = np.asarray(im, dtype=np.uint8)
     except (OSError, ValueError) as e:

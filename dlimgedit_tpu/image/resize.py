@@ -166,6 +166,10 @@ def resize_mask(img: ImageView | Image, target: Extent,
     view = img.view() if isinstance(img, Image) else img
     arr = view.pixels
     if arr.ndim == 3:
+        if arr.shape[2] != 1:
+            raise ValueError(
+                f"resize_mask is single-channel only (got {arr.shape[2]} "
+                f"channels) — use resize() for colour images")
         arr = arr[:, :, 0]
     res = _resample(arr[:, :, None].astype(np.float64) / 255.0, target, "box")
     res = np.clip(np.round(res[:, :, 0] * 255.0), 0, 255).astype(np.uint8)

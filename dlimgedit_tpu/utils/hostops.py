@@ -101,19 +101,21 @@ def load() -> Optional[ctypes.CDLL]:
         except OSError:
             _lib = None
         return _lib
-    candidates = [_REPO / "native" / "build" / "libdlimg_hostops.so"]
-    built = _build_on_demand()
-    if built is not None:
-        candidates.append(built)
-    for cand in candidates:
-        if cand.exists():
-            try:
-                lib = _configure(ctypes.CDLL(str(cand)))
-            except OSError:
-                continue
-            if lib is not None:
-                _lib = lib
-                return _lib
+    # Try the prebuilt CMake library FIRST; the multi-second on-demand g++
+    # compile only runs when no working prebuilt exists.
+    prebuilt = _REPO / "native" / "build" / "libdlimg_hostops.so"
+    for cand in (prebuilt, None):
+        if cand is None:
+            cand = _build_on_demand()
+        if cand is None or not cand.exists():
+            continue
+        try:
+            lib = _configure(ctypes.CDLL(str(cand)))
+        except OSError:
+            continue
+        if lib is not None:
+            _lib = lib
+            return _lib
     return None
 
 
@@ -131,6 +133,12 @@ def pack_rgb(src, cmap, dst, h: int, w: int) -> bool:
     if (src.dtype.itemsize != 1 or dst.dtype.itemsize != 1
             or src.strides[2] != 1 or src.strides[1] != c
             or dst.strides[2] != 1 or dst.strides[1] != 3):
+        return False
+    # Bounds: the native loop trusts its arguments where numpy would raise
+    # a broadcast error — an oversized h/w or channel index would be a
+    # multi-MB heap overwrite, not an exception.
+    if (h > dst.shape[0] or w > dst.shape[1]
+            or h > src.shape[0] or w > src.shape[1] or max(cmap) >= c):
         return False
     lib.dlimg_hostops_pack_rgb(
         src.ctypes.data, src.strides[0], h, w, c,

@@ -177,3 +177,19 @@ def test_save_load_value_preservation(tmp_path):
     save_image(img.view(), str(p))
     loaded = load_image(str(p))
     np.testing.assert_array_equal(loaded.pixels, arr)
+
+
+def test_load_16bit_png_keeps_high_byte(tmp_path):
+    """16-bit grayscale PNGs decode with stb's 16->8 high-byte semantics
+    (regression: PIL's .convert() CLIPPED at 255, turning a full-range
+    16-bit scan 99.6% pure white)."""
+    from PIL import Image as PILImage
+
+    wide = (np.arange(32 * 32, dtype=np.uint32) * 64).astype(np.uint16) \
+        .reshape(32, 32)
+    p = tmp_path / "gray16.png"
+    PILImage.fromarray(wide).save(p)  # uint16 -> mode I;16
+    loaded = load_image(str(p))
+    assert loaded.channels == Channels.mask
+    np.testing.assert_array_equal(loaded.pixels[:, :, 0],
+                                  (wide >> 8).astype(np.uint8))
