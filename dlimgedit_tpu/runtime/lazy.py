@@ -11,7 +11,10 @@ T = TypeVar("T")
 
 class Lazy(Generic[T]):
     def __init__(self):
-        self._lock = threading.Lock()
+        # RLock: a factory that (transitively) re-enters the same Lazy —
+        # e.g. a model loader resolving a variant alias through the same
+        # registry slot — must recurse instead of deadlocking silently.
+        self._lock = threading.RLock()
         self._value: Optional[T] = None
         self._created = False
 

@@ -113,7 +113,13 @@ class Image:
         if pixels is None:
             pixels = np.empty((extent.height, extent.width, c), dtype=np.uint8)
         else:
-            pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+            if np.asarray(pixels).dtype != np.uint8:
+                # Mirror ImageView.from_array: a silent cast would WRAP
+                # int16 values and floor a float [0, 1] mask to all-zeros.
+                raise ValueError(
+                    f"Image pixels must be uint8 (got "
+                    f"{np.asarray(pixels).dtype}); scale/convert explicitly")
+            pixels = np.ascontiguousarray(pixels)
             if pixels.ndim == 2:
                 pixels = pixels[:, :, None]
             if pixels.shape != (extent.height, extent.width, c):
@@ -149,11 +155,15 @@ class Image:
 
         return load_image(str(filepath))
 
-    @staticmethod
-    def save(img: Union["Image", ImageView], filepath) -> None:
+    def save(img: Union["Image", ImageView], filepath) -> None:  # noqa: N805
+        """Write a PNG. Deliberately NOT a @staticmethod so that BOTH
+        spellings work: ``img.save(path)`` (the natural instance call, where
+        ``img`` binds self) and ``Image.save(img_or_view, path)`` (the
+        C++-header-mirroring form)."""
         from .image.io import save_image
 
-        save_image(img if isinstance(img, ImageView) else img.view(), str(filepath))
+        save_image(img if isinstance(img, ImageView) else img.view(),
+                   str(filepath))
 
 
 class Backend(enum.Enum):

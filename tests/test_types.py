@@ -47,3 +47,25 @@ def test_region_from_origin_extent():
 
 def test_backend_alias():
     assert Backend.gpu is Backend.tpu
+
+
+def test_image_rejects_non_uint8_pixels():
+    """A silent uint8 cast wrapped int16 values and floored float masks to
+    zero; Image must reject like ImageView.from_array does."""
+    import pytest
+
+    with pytest.raises(ValueError, match="uint8"):
+        Image(Extent(2, 2), Channels.mask, np.full((2, 2, 1), 0.99,
+                                                   np.float32))
+
+
+def test_image_save_instance_spelling(tmp_path):
+    """Both img.save(path) and Image.save(img, path) must work."""
+    rng = np.random.default_rng(0)
+    img = Image(Extent(4, 4), Channels.rgb,
+                rng.integers(0, 256, (4, 4, 3), dtype=np.uint8))
+    p1, p2 = tmp_path / "a.png", tmp_path / "b.png"
+    img.save(p1)
+    Image.save(img, p2)
+    np.testing.assert_array_equal(Image.load(p1).pixels,
+                                  Image.load(p2).pixels)
