@@ -39,16 +39,12 @@ import numpy as np
 
 def _probe_with_timeout():
     """The remote-TPU relay can die (see CLAUDE.md); a dead relay makes
-    every jax call hang forever, so probe device init in a subprocess."""
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
-            capture_output=True, text=True, timeout=90)
-        if r.returncode == 0 and "ok" in r.stdout:
-            return True
-    except subprocess.TimeoutExpired:
-        pass
-    return None
+    every jax call hang forever, so probe device init in a subprocess
+    (the shared probe lives in __graft_entry__, next to the compile gate's
+    identical degrade path)."""
+    from __graft_entry__ import relay_probe_ok
+
+    return relay_probe_ok() or None
 
 
 def _maybe_fallback_to_cpu():
@@ -128,10 +124,7 @@ def _run():
     import jax
 
     import dlimgedit_tpu as dl
-    from dlimgedit_tpu.runtime.segmentation import (
-        _build_decode_fn,
-        _build_embed_fn,
-    )
+    from dlimgedit_tpu.runtime.segmentation import _build_embed_fn
     from dlimgedit_tpu.ops.preprocess import (
         pack_rgb_canvas, pick_bucket, staging_canvas)
 
@@ -172,20 +165,20 @@ def _run():
     # headline decomposition wants (a local host never sees that mode).
     import jax.numpy as jnp
 
-    bucket_ = pick_bucket(dl.Extent(args.size, args.size))
+    bucket = pick_bucket(dl.Extent(args.size, args.size))
     # Measure the pack as process() performs it off-CPU: native channel-map
     # loop into a pooled staging canvas (no zeroing; see
     # ops/preprocess.staging_canvas). On the CPU fallback the pool is
     # bypassed, matching process()'s own platform gate.
     if accel:
         pack_ms = min_ms(
-            lambda: pack_rgb_canvas(img.view(), bucket_,
-                                    out=staging_canvas(bucket_)),
+            lambda: pack_rgb_canvas(img.view(), bucket,
+                                    out=staging_canvas(bucket)),
             args.iters)
     else:
-        pack_ms = min_ms(lambda: pack_rgb_canvas(img.view(), bucket_),
+        pack_ms = min_ms(lambda: pack_rgb_canvas(img.view(), bucket),
                          args.iters)
-    canvas_np = pack_rgb_canvas(img.view(), bucket_)
+    canvas_np = pack_rgb_canvas(img.view(), bucket)
     tiny_np = np.zeros((2, 2), np.float32)
     jax.device_put(tiny_np, env.device).block_until_ready()  # channel warm
     h2d_ms = min_ms(
@@ -224,7 +217,7 @@ def _run():
                            args.iters)
     # Host-side unpack of the bit-packed mask payload (postprocess.py).
     packed = np.frombuffer(
-        rng.integers(0, 256, bucket_ * bucket_ // 8, dtype=np.uint8)
+        rng.integers(0, 256, bucket * bucket // 8, dtype=np.uint8)
         .tobytes(), dtype=np.uint8)
     unpack_ms = min_ms(
         lambda: np.unpackbits(packed)[: args.size * args.size], args.iters)
@@ -236,7 +229,6 @@ def _run():
     # --- true device-execution latencies (chained: on remote-attached TPUs
     # block_until_ready acknowledges dispatch, so each iteration's output
     # feeds the next inside one program and we fetch once at the end) -------
-    import jax.numpy as jnp
     from jax import lax
 
     from dlimgedit_tpu.models import sam as sam_lib
@@ -244,7 +236,6 @@ def _run():
 
     bundle = env.sam_model(args.variant)
     cfg = bundle.cfg
-    bucket = pick_bucket(dl.Extent(args.size, args.size))
     canvas = jax.device_put(pack_rgb_canvas(img.view(), bucket), env.device)
     sizes = jax.device_put(np.array([args.size] * 4, np.int32), env.device)
     NCH = 10 if accel else 2

@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     ap.add_argument("--birefnet", action="store_true",
                     help="also warm the BiRefNet segment_objects programs")
     ap.add_argument("--random-weights", action="store_true")
+    ap.add_argument("--batch-sizes", default="1,8",
+                    help="compute_mask_batch prompt counts to warm (each "
+                         "pads to a power of two -> one executable per "
+                         "padded size)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -63,7 +67,11 @@ def main(argv=None) -> int:
         seg = dl.Segmentation.process(img, env, variant=args.variant)
         seg.compute_mask(dl.Point(bucket // 2, bucket // 2))      # single
         seg.compute_masks(dl.Point(bucket // 2, bucket // 2))     # multi
-        seg.compute_mask_batch([dl.Point(bucket // 2, bucket // 2)])
+        # Batch decode compiles one executable per PADDED (power-of-two)
+        # prompt count; warm each size a deployment will hit, not just 1.
+        for n in (int(b) for b in args.batch_sizes.split(",") if b):
+            seg.compute_mask_batch(
+                [dl.Point(bucket // 2, bucket // 2)] * n)
         print(f"bucket {bucket}: SAM programs compiled+cached "
               f"({time.time() - t0:.1f}s)", flush=True)
         if args.birefnet:

@@ -170,20 +170,11 @@ def convert(key: str, checkpoint: Path, model_dir: Path) -> Path:
     save_pytree(out, params)
     out.with_suffix(out.suffix + ".sha256").write_text(
         f"{sha256_file(out)}  {out.name}\n")
-    n = sum(int(np.prod(a.shape)) for a in _leaves(params))
+    from dlimgedit_tpu.utils.pytree_io import flatten_tree
+
+    n = sum(int(np.prod(a.shape)) for a in flatten_tree(params).values())
     print(f"wrote {out} ({n / 1e6:.1f}M params, pinned)")
     return out
-
-
-def _leaves(tree):
-    if isinstance(tree, dict):
-        for v in tree.values():
-            yield from _leaves(v)
-    elif isinstance(tree, (list, tuple)):
-        for v in tree:
-            yield from _leaves(v)
-    else:
-        yield tree
 
 
 def main(argv=None) -> int:
@@ -209,7 +200,16 @@ def main(argv=None) -> int:
         if key not in MANIFEST:
             print(f"unknown model {key!r}; see --list", file=sys.stderr)
             return 2
-        ckpt = args.checkpoint or fetch(MANIFEST[key], args.cache_dir)
+        if args.checkpoint:
+            # Local checkpoints are verified against the manifest pin too:
+            # converting an unverified file would stamp a fresh .sha256 pin
+            # onto bad weights that _verified_load then trusts forever.
+            verify_source(MANIFEST[key], args.checkpoint,
+                          args.checkpoint.with_suffix(
+                              args.checkpoint.suffix + ".sha256"))
+            ckpt = args.checkpoint
+        else:
+            ckpt = fetch(MANIFEST[key], args.cache_dir)
         convert(key, ckpt, args.model_dir)
     return 0
 

@@ -140,19 +140,30 @@ def cmd_batch(dev, quant="none", variant="mobile_sam"):
     round-4 A/B for int8 serving at batch > 1 (round-2 data: no win at
     batch 1; the s8 x s8 MXU rate should start paying once the matmuls are
     batch-bound)."""
+    import dataclasses
+
     from dlimgedit_tpu.models import sam as sam_lib
+    from dlimgedit_tpu.models.common import cast_tree
     from dlimgedit_tpu.parallel.batch import decode_prompt_batch
 
     cfg = sam_lib.make_config(variant)
-    raw = sam_lib.init_sam(jax.random.PRNGKey(0), cfg)
+    if cfg.encoder_vit is not None:
+        # The PRODUCTION accelerator path (Environment._load_sam flips this
+        # on): without it the A/B times dense attention + stock LN, ~3x off
+        # the serving numbers the verdict is drawn against.
+        cfg = dataclasses.replace(cfg, encoder_vit=dataclasses.replace(
+            cfg.encoder_vit, use_flash_attention=True))
+    raw = dict(sam_lib.init_sam(jax.random.PRNGKey(0), cfg))
     if quant != "none":
         from dlimgedit_tpu.ops.quant import quantize_encoder
 
-        raw = dict(raw)
         raw["encoder"] = quantize_encoder(raw["encoder"],
                                           act_int8=(quant == "w8a8"))
         print(f"encoder quantised: {quant}", flush=True)
-    p = jax.device_put(_bf16(raw), dev)
+    # Environment-exact dtype policy: bf16 ENCODER, f32 prompt-encoder /
+    # decoder (SamModelBundle casts only params['encoder']).
+    raw["encoder"] = cast_tree(raw["encoder"], jnp.bfloat16)
+    p = jax.device_put(raw, dev)
     for B in (1, 2, 4, 8):
         x = jax.device_put((jax.random.normal(
             jax.random.PRNGKey(1), (B, 1024, 1024, 3)) * 0.5
@@ -519,7 +530,7 @@ def main(argv=None) -> int:
         cmd_batch(dev, quant=args.quant,
                   variant=args.variant or "mobile_sam")
         return 0
-    {"encoders": cmd_encoders, "batch": cmd_batch,
+    {"encoders": cmd_encoders,
      "attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages,
      "birefnet": cmd_birefnet,
      }[args.command](dev)

@@ -17,6 +17,7 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -76,7 +77,22 @@ def main():
 
     import dlimgedit_tpu as dl
 
-    backend = dl.Backend.tpu if dl.is_supported(dl.Backend.tpu) else dl.Backend.cpu
+    # A dead axon relay would block is_supported's backend init forever
+    # (CLAUDE.md env facts); probe in a subprocess first like bench.py.
+    import __graft_entry__ as ge
+
+    relay_ok = (not os.environ.get("PALLAS_AXON_POOL_IPS")
+                or ge.relay_probe_ok())
+    if not relay_ok:
+        print("accelerator relay unreachable; running parity on CPU",
+              file=sys.stderr)
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    backend = (dl.Backend.tpu
+               if relay_ok and dl.is_supported(dl.Backend.tpu)
+               else dl.Backend.cpu)
     env = dl.Environment(dl.Options(
         backend=backend, model_directory=args.models,
         preprocess_mode="host"))  # reference-exact resize numerics
