@@ -25,6 +25,12 @@ cached file and enforced on every later fetch.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import hashlib
 import sys

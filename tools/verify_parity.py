@@ -15,6 +15,12 @@ Usage:
         --goldens /root/reference/test/reference
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import os
