@@ -54,6 +54,23 @@ def _maybe_fallback_to_cpu():
         return
     if _probe_with_timeout():
         return
+    # Bounded recovery loop: this JSON line is the round's official perf
+    # artifact, and a TRANSIENT relay outage at the moment the driver runs
+    # must not demote it to a CPU record (that is exactly how BENCH_r03
+    # became a CPU capture). Keep probing on a budget before giving up —
+    # costs nothing when the relay is healthy (first probe succeeds above).
+    budget_s = float(os.environ.get("DLIMG_BENCH_RELAY_WAIT_S", "900"))
+    deadline = time.monotonic() + budget_s
+    while time.monotonic() < deadline:
+        wait = min(60.0, max(0.0, deadline - time.monotonic()))
+        print(f"relay down; retrying probe in {wait:.0f}s "
+              f"({deadline - time.monotonic():.0f}s of budget left)",
+              file=sys.stderr)
+        time.sleep(wait)
+        if _probe_with_timeout():
+            print("relay recovered; proceeding on accelerator",
+                  file=sys.stderr)
+            return
     print("accelerator relay unreachable; re-running bench on CPU",
           file=sys.stderr)
     env = dict(os.environ)

@@ -37,7 +37,15 @@ def load_image(filepath: str) -> Image:
                 # HIGH byte. PIL's .convert() would CLIP at 255 instead —
                 # a full-range 16-bit scan came out 99.6% pure white.
                 wide = np.asarray(im)
-                shift = 8 if wide.dtype.itemsize == 2 else 24
+                # Pick the shift from the DATA range, not the container
+                # width: older Pillow (<10.1) opens 16-bit gray PNGs as
+                # mode 'I' (32-bit container) with 0..65535 values — keying
+                # on itemsize alone would shift those by 24 and black the
+                # image out.
+                if wide.dtype.itemsize == 2 or wide.max(initial=0) < 65536:
+                    shift = 8
+                else:
+                    shift = 24
                 im = PILImage.fromarray(
                     np.clip(wide >> shift, 0, 255).astype(np.uint8), "L")
             elif im.mode not in ("L", "RGB", "RGBA"):

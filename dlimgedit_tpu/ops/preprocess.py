@@ -44,28 +44,62 @@ def pick_bucket(extent: Extent, buckets=CANVAS_BUCKETS) -> int:
 # resample matrices that zero every weight outside the valid [:h, :w] region
 # (resample.py `valid` mask), so a reused canvas needs NO zeroing and stale
 # bytes from a previous image are mathematically inert.  Reuse is only safe
-# when `jax.device_put` copies the host buffer during the call — true for
-# every remote/PJRT accelerator path (the bytes must be serialized into the
-# transfer) but NOT for XLA:CPU, which may alias aligned numpy arrays
-# zero-copy; callers gate pooling on platform != "cpu".
+# when the previous `jax.device_put` of the same buffer has finished reading
+# it: PJRT semantics are ImmutableUntilTransferCompletes — device_put may
+# return while the copy is still in flight, so callers register the put via
+# ``note_canvas_transfer`` and the pool refuses to hand a buffer back out
+# until that array reports ready (falling back to a fresh allocation, which
+# is exactly the unpooled cost).  XLA:CPU additionally may alias aligned
+# numpy arrays zero-copy for the array's whole lifetime, which no readiness
+# check covers; callers therefore still gate pooling on platform != "cpu".
 _POOL_DEPTH = 2
 _canvas_pool = threading.local()
 
 
+def _transfer_done(xfer) -> bool:
+    try:
+        return bool(xfer.is_ready())
+    except Exception:
+        return True  # deleted/donated arrays: transfer long finished
+
+
 def staging_canvas(bucket: int) -> np.ndarray:
     """An uninitialised (bucket, bucket, 3) uint8 canvas from the per-thread
-    rotation pool. Pack with ``pack_rgb_canvas(view, bucket, out=...)``."""
+    rotation pool. Pack with ``pack_rgb_canvas(view, bucket, out=...)`` and,
+    after ``jax.device_put``, register the result with
+    ``note_canvas_transfer`` so the pool can track transfer completion."""
     bufs = getattr(_canvas_pool, "bufs", None)
     if bufs is None:
         bufs = _canvas_pool.bufs = {}
     ring = bufs.setdefault(bucket, [])
     if len(ring) < _POOL_DEPTH:
         buf = np.empty((bucket, bucket, 3), dtype=np.uint8)
-        ring.append(buf)
+        ring.append([buf, None])
         return buf
-    buf = ring.pop(0)
-    ring.append(buf)
-    return buf
+    # Round-robin from the least-recently-issued buffer, skipping any whose
+    # registered device_put has not completed yet.
+    for i, entry in enumerate(ring):
+        buf, xfer = entry
+        if xfer is None or _transfer_done(xfer):
+            entry[1] = None
+            ring.append(ring.pop(i))  # most-recently-issued to the back
+            return buf
+    # Every pooled buffer still has a transfer in flight: hand out a fresh
+    # unpooled canvas rather than corrupt one mid-copy.
+    return np.empty((bucket, bucket, 3), dtype=np.uint8)
+
+
+def note_canvas_transfer(canvas: np.ndarray, device_array) -> None:
+    """Record the in-flight ``device_put`` of a pooled canvas (matched by
+    buffer identity; unpooled canvases are ignored)."""
+    bufs = getattr(_canvas_pool, "bufs", None)
+    if not bufs:
+        return
+    for ring in bufs.values():
+        for entry in ring:
+            if entry[0] is canvas:
+                entry[1] = device_array
+                return
 
 
 def pack_rgb_canvas(view: ImageView, bucket: int,

@@ -16,7 +16,8 @@ from ..errors import ModelNotFoundError
 from ..image.resize import resize_mask
 from ..models.common import cast_tree
 from ..ops.postprocess import sigmoid_to_u8
-from ..ops.preprocess import pack_rgb_canvas, pick_bucket, staging_canvas
+from ..ops.preprocess import (note_canvas_transfer, pack_rgb_canvas,
+                              pick_bucket, staging_canvas)
 from ..ops.resample import apply_resample, resample_matrix
 from ..types import Channels, Image, ImageView
 from ..utils.pytree_io import load_pytree
@@ -116,8 +117,9 @@ def birefnet_segment(env, view: ImageView) -> Image:
     sizes = np.array([extent.height, extent.width], np.int32)
     run = env.executable(("birefnet", kind, bucket),
                          lambda: _build_birefnet_fn(bundle, bucket))
-    mask_model = np.asarray(run(bundle.params,
-                                jax.device_put(canvas, env.device),
+    canvas_d = jax.device_put(canvas, env.device)
+    note_canvas_transfer(canvas, canvas_d)
+    mask_model = np.asarray(run(bundle.params, canvas_d,
                                 jax.device_put(sizes, env.device)))
     # Box-filter resize back to the original extent (image.cpp:53-62).
     out = resize_mask(ImageView.from_array(mask_model, Channels.mask), extent)

@@ -35,6 +35,7 @@ from ..ops.postprocess import (
     upsample_mask_logits,
 )
 from ..ops.preprocess import (
+    note_canvas_transfer,
     pack_rgb_canvas,
     pick_bucket,
     sam_preprocess,
@@ -190,6 +191,8 @@ class Segmentation:
         embed = env.executable(("embed", variant, bucket),
                                lambda: _build_embed_fn(bundle))
         canvas_d = jax.device_put(canvas, env.device)
+        if pooled:
+            note_canvas_transfer(canvas, canvas_d)
         emb = embed(bundle.params, canvas_d, jax.device_put(sizes, env.device))
         return Segmentation(env, variant, emb, extent, scale,
                             (target.height, target.width))

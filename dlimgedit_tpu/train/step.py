@@ -115,14 +115,18 @@ def learning_rate_schedule(tcfg: TrainConfig = TrainConfig()):
     warmup."""
     if not (tcfg.warmup_steps or tcfg.decay_steps):
         return tcfg.learning_rate
-    warmup = optax.linear_schedule(0.0, tcfg.learning_rate,
-                                   max(tcfg.warmup_steps, 1))
     if tcfg.decay_steps:
         tail = optax.cosine_decay_schedule(tcfg.learning_rate,
                                            tcfg.decay_steps)
     else:
         tail = optax.constant_schedule(tcfg.learning_rate)
-    return optax.join_schedules([warmup, tail], [max(tcfg.warmup_steps, 1)])
+    if not tcfg.warmup_steps:
+        # Decay-only config: start the cosine at peak immediately (a forced
+        # 1-step warmup would train step 0 at lr=0).
+        return tail
+    warmup = optax.linear_schedule(0.0, tcfg.learning_rate,
+                                   tcfg.warmup_steps)
+    return optax.join_schedules([warmup, tail], [tcfg.warmup_steps])
 
 
 def make_optimizer(tcfg: TrainConfig = TrainConfig()):

@@ -29,6 +29,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <exception>
+#include <fstream>
 #include <map>
 #include <mutex>
 #include <string>
@@ -438,12 +439,36 @@ dlimg_Result pjrt_segment_objects(dlimg_ImageView const* img,
 // ---------------------------------------------------------------------------
 
 int api_is_backend_supported(dlimg_Backend backend) {
-    if (std::getenv("DLIMG_PJRT_BUNDLE")) {
-        // Serving mode answers WITHOUT touching Python: bundles are
-        // exported for the accelerator, and a capability probe must not
-        // boot the embedded interpreter (Python-free deployments have no
-        // libpython environment to boot — Py_InitializeEx would abort).
-        return backend == dlimg_gpu ? 1 : 0;
+    if (const char* bundle = std::getenv("DLIMG_PJRT_BUNDLE")) {
+        // Serving mode answers WITHOUT touching Python: a capability probe
+        // must not boot the embedded interpreter (Python-free deployments
+        // have no libpython environment — Py_InitializeEx would abort), and
+        // it must not boot the PJRT plugin either (plugin init can dial a
+        // remote accelerator). Instead, validate the bundle's own metadata:
+        // serving.txt records which backend its programs were lowered for,
+        // so a CPU-exported or unreadable bundle never reports dlimg_gpu.
+        static std::mutex m;
+        std::lock_guard<std::mutex> lock(m);
+        static std::string cached_dir;
+        static int cached_backend = -1;  // -1 unprobed, else dlimg_Backend
+        if (cached_dir != bundle) {
+            cached_dir = bundle;
+            cached_backend = -1;
+            std::ifstream f(std::string(bundle) + "/serving.txt");
+            std::string line;
+            bool have_buckets = false;
+            int be = dlimg_gpu;  // pre-"backend"-key bundles were gpu-only
+            while (std::getline(f, line)) {
+                auto t = line.find('\t');
+                if (t == std::string::npos) continue;
+                std::string key = line.substr(0, t), val = line.substr(t + 1);
+                if (key == "buckets" && !val.empty()) have_buckets = true;
+                if (key == "backend")
+                    be = (val == "cpu") ? dlimg_cpu : dlimg_gpu;
+            }
+            if (f.eof() && have_buckets) cached_backend = be;
+        }
+        return cached_backend == int(backend) ? 1 : 0;
     }
     try {
         if (!PyRuntime::get().ensure()) return 0;

@@ -9,6 +9,13 @@ import os
 
 # Must be set before jax is imported anywhere.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Dead-relay proofing (CLAUDE.md env facts): the axon TPU plugin ignores
+# JAX_PLATFORMS and dials its relay at plugin registration — with the relay
+# dead, the first backend init (even jax.devices("cpu") below) hangs the
+# whole suite forever. Tests are CPU-pinned by design, so never let the
+# plugin register: scrub its discovery env var unconditionally, the same
+# treatment __graft_entry__._degrade_to_cpu_if_relay_dead applies.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -21,8 +28,15 @@ import jax
 import numpy as np
 import pytest
 
-# The axon TPU plugin ignores JAX_PLATFORMS; pin placement to CPU explicitly
-# so tests are hermetic (the TPU path is exercised by bench.py / the driver).
+# Belt-and-braces with the env scrub above: even if a plugin slipped in via
+# an entry point, restrict backend init to CPU before it first happens.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+# Pin placement to CPU explicitly so tests are hermetic (the TPU path is
+# exercised by bench.py / the driver).
 try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:

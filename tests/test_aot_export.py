@@ -55,6 +55,9 @@ def test_aot_export_serving_bundle_quantized(tmp_path):
     assert serving["variant"] == "mobile_sam"
     assert serving["buckets"] == "128"
     assert serving["quant"] == "w8,a8"
+    # The capability probe (capi.cpp api_is_backend_supported) keys off this:
+    # a CPU-exported bundle must never report dlimg_gpu support.
+    assert serving["backend"] == "cpu"
 
     # The recorded expected outputs came from executing the REAL compiled
     # program — the packed mask must be a plausible bit-packed canvas.

@@ -193,3 +193,39 @@ def test_load_16bit_png_keeps_high_byte(tmp_path):
     assert loaded.channels == Channels.mask
     np.testing.assert_array_equal(loaded.pixels[:, :, 0],
                                   (wide >> 8).astype(np.uint8))
+
+
+def test_load_mode_I_with_16bit_range_data(monkeypatch, tmp_path):
+    """Pillow < 10.1 opens 16-bit gray PNGs as mode 'I' (32-bit container)
+    with 0..65535 data; the shift must follow the DATA range, not the
+    container width (shifting by 24 blacked the image out)."""
+    from PIL import Image as PILImage
+
+    wide = (np.arange(16 * 16, dtype=np.uint32) * 257).astype(np.uint16) \
+        .reshape(16, 16)
+    p = tmp_path / "gray16.png"
+    PILImage.fromarray(wide).save(p)
+    # Force the old-Pillow behaviour: the opened image presents as mode 'I'
+    # int32 with the same 16-bit-range values.
+    real_open = PILImage.open
+
+    class _ModeI:
+        def __init__(self, im):
+            self._im = im.convert("I")
+            self.mode = "I"
+            self.info = {}
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            self._im.close()
+
+        def __array__(self, dtype=None, copy=None):
+            return np.asarray(self._im)
+
+    monkeypatch.setattr(PILImage, "open",
+                        lambda fp: _ModeI(real_open(fp)))
+    loaded = load_image(str(p))
+    np.testing.assert_array_equal(loaded.pixels[:, :, 0],
+                                  (wide >> 8).astype(np.uint8))

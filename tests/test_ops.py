@@ -229,6 +229,36 @@ def test_staging_canvas_stale_bytes_are_masked():
     assert staging_canvas(S) is a
 
 
+def test_staging_canvas_skips_buffers_with_inflight_transfers():
+    """PJRT device_put may return while still reading the host buffer
+    (ImmutableUntilTransferCompletes); a pooled canvas must not be handed
+    out again until its registered transfer reports ready."""
+    from dlimgedit_tpu.ops.preprocess import (note_canvas_transfer,
+                                              staging_canvas)
+
+    class _Xfer:
+        def __init__(self, ready):
+            self.ready = ready
+
+        def is_ready(self):
+            return self.ready
+
+    S = 48  # bucket size unused by other tests: fresh pool ring
+    a = staging_canvas(S)
+    b = staging_canvas(S)
+    xa, xb = _Xfer(False), _Xfer(False)
+    note_canvas_transfer(a, xa)
+    # a's put is still in flight -> the pool must skip it and return b.
+    assert staging_canvas(S) is b
+    note_canvas_transfer(b, xb)
+    # Both in flight -> fresh unpooled allocation, never a pooled buffer.
+    c = staging_canvas(S)
+    assert c is not a and c is not b
+    # Transfer completes -> the buffer is reusable again.
+    xa.ready = True
+    assert staging_canvas(S) is a
+
+
 def test_sam_preprocess_matches_torch_pipeline():
     """Fused preprocess == resize(antialias) -> normalize -> pad."""
     rng = np.random.default_rng(4)

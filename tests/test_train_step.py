@@ -108,6 +108,12 @@ def test_lr_schedule_shape():
     short = learning_rate_schedule(TrainConfig(
         learning_rate=1e-3, warmup_steps=100, decay_steps=10))
     assert float(short(104)) > 1e-4  # mid-decay, nowhere near zero yet
+    # Decay-only config starts the cosine AT peak (regression: a forced
+    # 1-step warmup trained step 0 at lr=0).
+    decay_only = learning_rate_schedule(TrainConfig(learning_rate=1e-3,
+                                                    decay_steps=20))
+    np.testing.assert_allclose(float(decay_only(0)), 1e-3, rtol=1e-6)
+    assert float(decay_only(10)) < 1e-3
     # Constant config returns the plain scalar.
     assert learning_rate_schedule(TrainConfig()) == TrainConfig().learning_rate
 

@@ -308,6 +308,10 @@ def main() -> int:
             biref_specs.append(f"{kind}:{bucket}:{bbundle.resolution}")
         with open(os.path.join(args.out, "serving.txt"), "w") as f:
             f.write(f"variant\t{args.variant}\n")
+            # Which backend the programs were lowered for — the C shim's
+            # capability probe reports support consistent with this (a
+            # CPU-exported bundle must not claim dlimg_gpu support).
+            f.write(f"backend\t{args.backend}\n")
             f.write(f"image_size\t{bundle.cfg.image_size}\n")
             f.write(f"buckets\t{','.join(map(str, buckets))}\n")
             if biref_specs:
