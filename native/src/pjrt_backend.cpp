@@ -496,7 +496,7 @@ bool fetch(Backend* be, Buf* buf, void* dst, size_t dst_size,
 }
 
 bool validate(Backend* be, const std::string& name, std::string* report,
-              std::string* err) {
+              std::string* err, int f32_ulp) {
   // Parse the spec for dynamic-input indices and output shapes.
   std::ifstream f(be->dir + "/" + name + ".spec.txt");
   if (!f) {
@@ -568,10 +568,29 @@ bool validate(Backend* be, const std::string& name, std::string* report,
   if (!ok) return false;
   for (size_t oi = 0; oi < outs.size(); ++oi) {
     size_t n_diff = 0;
-    for (size_t b = 0; b < got[oi].size(); ++b)
-      n_diff += got[oi][b] != want[oi].data[b];
-    rep << name << " out" << oi << ": " << n_diff << "/" << got[oi].size()
-        << " bytes differ\n";
+    if (f32_ulp > 0 && want[oi].dtype == "float32") {
+      // Element-wise ULP compare (monotone int reinterpretation).
+      const size_t n = got[oi].size() / 4;
+      for (size_t e = 0; e < n; ++e) {
+        int32_t a, b;
+        std::memcpy(&a, got[oi].data() + 4 * e, 4);
+        std::memcpy(&b, want[oi].data.data() + 4 * e, 4);
+        // Monotone int mapping of float bits (negatives mirrored below
+        // zero; +-0 coincide), so |key(a)-key(b)| is the ULP distance.
+        auto key = [](int32_t v) -> int64_t {
+          return v >= 0 ? int64_t(v) : int64_t(INT32_MIN) - int64_t(v);
+        };
+        int64_t d = key(a) - key(b);
+        n_diff += (d > f32_ulp || d < -f32_ulp);
+      }
+      rep << name << " out" << oi << ": " << n_diff << "/" << n
+          << " f32 elements beyond " << f32_ulp << " ulp\n";
+    } else {
+      for (size_t b = 0; b < got[oi].size(); ++b)
+        n_diff += got[oi][b] != want[oi].data[b];
+      rep << name << " out" << oi << ": " << n_diff << "/" << got[oi].size()
+          << " bytes differ\n";
+    }
     if (n_diff != 0) {
       ok = false;
       // Dump for offline analysis (raw bytes; dtype/shape in the spec).

@@ -56,7 +56,11 @@ void release(Backend*, Buf*);
 // export saved (<name>.in<j>.npy for spec "ind" lines) and compare every
 // output byte-exactly against <name>.out<i>.npy. Isolates C-runner bugs
 // (argument interleaving, staging, dtype) from pipeline-level divergence.
+// f32_ulp > 0 relaxes FLOAT32 outputs only, to an element-wise ULP
+// distance <= f32_ulp (for the hermetic CPU tier, where the plugin's own
+// XLA recompiles the program and may legally reorder fma — masks and every
+// integer output stay byte-exact).
 bool validate(Backend*, const std::string& name, std::string* report,
-              std::string* err);
+              std::string* err, int f32_ulp = 0);
 
 }  // namespace dlimg_pjrt

@@ -29,8 +29,8 @@ def test_aot_export_serving_bundle_quantized(tmp_path):
         [sys.executable, os.path.join(REPO, "tools", "aot_export.py"),
          "--out", str(tmp_path), "--program", "serving", "--backend", "cpu",
          "--variant", "mobile_sam", "--sam-image-size", "64",
-         "--buckets", "128", "--quantize-activations"],
-        capture_output=True, text=True, timeout=540, env=env, cwd=REPO)
+         "--buckets", "128,256", "--quantize-activations"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
 
     for name in ("serve_embed_mobile_sam_128", "serve_decode_mobile_sam_128",
@@ -53,7 +53,7 @@ def test_aot_export_serving_bundle_quantized(tmp_path):
     serving = dict(ln.split("\t", 1) for ln in
                    (tmp_path / "serving.txt").read_text().splitlines())
     assert serving["variant"] == "mobile_sam"
-    assert serving["buckets"] == "128"
+    assert serving["buckets"] == "128,256"
     assert serving["quant"] == "w8,a8"
     # The capability probe (capi.cpp api_is_backend_supported) keys off this:
     # a CPU-exported bundle must never report dlimg_gpu support.
@@ -75,6 +75,39 @@ def test_aot_export_serving_bundle_quantized(tmp_path):
                         text=True)
     assert rc.returncode == 0, rc.stdout + rc.stderr
     assert "int8" in rc.stdout and "bundle parse OK" in rc.stdout
+
+    # Byte-exact native execution, fully hermetic: every exported program
+    # (embed + 1-mask + 3-mask decode, BOTH buckets, int8-quantized) runs
+    # through the real C serving runner (pjrt_backend.cpp) against the
+    # repo's own CPU PJRT plugin (pjrt_cpu_plugin.cc over
+    # libtensorflow_cc's XLA:CPU) and must reproduce the jax-recorded
+    # outputs bit-for-bit. This is the CI-resident regression guard for
+    # argument interleaving, weight staging, dtype handling, and the 1-D
+    # output-layout rule — previously only exercised in live chip sessions.
+    plugin = BUILD_DIR / "libdlimg_pjrt_cpu.so"
+    if not plugin.exists():
+        import pytest
+        pytest.skip("libdlimg_pjrt_cpu.so not built "
+                    "(tensorflow C++ libraries unavailable)")
+    assert (tmp_path / "plugin_path.txt").read_text().strip() == str(plugin)
+    validator = BUILD_DIR / "test_serving_programs"
+    programs = [f"serve_{kind}_mobile_sam_{b}"
+                for b in (128, 256)
+                for kind in ("embed", "decode", "decode3")]
+    # --f32-ulp=16 covers only the f32 outputs (the plugin's own XLA
+    # recompiles the program; measured <=9 ulp / <=8e-7 relative iou drift
+    # on the a8 config from legal fma reordering).
+    # Packed masks and every integer output remain byte-exact.
+    rc = subprocess.run([str(validator), "--f32-ulp=16", str(tmp_path),
+                         *programs],
+                        capture_output=True, text=True, timeout=900, env=env)
+    assert rc.returncode == 0, rc.stdout + rc.stderr[-2000:]
+    assert rc.stdout.count(": PASS") == len(programs), rc.stdout
+    # The embed program's f32 embedding must ALSO be exact-ish: assert the
+    # report shows zero elements beyond tolerance everywhere.
+    for ln in rc.stdout.splitlines():
+        if "beyond" in ln or "bytes differ" in ln:
+            assert ln.split(":")[1].strip().startswith("0/"), ln
 
 
 def test_aot_export_smoke_bundle(tmp_path):

@@ -54,7 +54,14 @@ def _capture_client_options():
     # via the pjrt_plugin registry after init instead (see _plugin_so).
 
 
-def _plugin_so() -> str:
+def _plugin_so(backend: str = "gpu") -> str:
+    if backend == "cpu":
+        # CPU test-tier bundles run through the repo's own CPU PJRT plugin
+        # (native/src/pjrt_cpu_plugin.cc, built over libtensorflow_cc).
+        cand = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "native", "build",
+            "libdlimg_pjrt_cpu.so")
+        return cand if os.path.exists(cand) else ""
     # The axon sitecustomize exposes the .so path via env or the known
     # install location; prefer the env the register path uses.
     for key in ("AXON_SO_PATH",):
@@ -123,15 +130,40 @@ def main() -> int:
             else:
                 f.write(f"{k}\ts\t{v}\n")
     with open(os.path.join(args.out, "plugin_path.txt"), "w") as f:
-        f.write(_plugin_so())
+        f.write(_plugin_so(getattr(args, "backend", "gpu")))
 
     rng = np.random.default_rng(0)
+
+    cpu_tier = getattr(args, "backend", "gpu") == "cpu"
+
+    def _program_blob(comp, lowered):
+        """Program bytes for <name>.pjrt.
+
+        Accelerator bundles ship the serialized compiled executable (the
+        plugin that loads them is the same build that would compile). CPU
+        test-tier bundles ship "DLIMGHLO1" + the PRE-optimization
+        HloModuleProto instead, compiled by libdlimg_pjrt_cpu.so's own
+        XLA. Measured with the tensorflow-wheel XLA (~6 months older than
+        jaxlib's):
+          * serialized executables deserialize but MISREAD the buffer
+            assignment (garbage outputs on every non-trivial program);
+          * post-optimization HLO (scheduled, fused) fails its
+            AlgebraicSimplifier re-run with an invalid-layout error;
+          * pre-optimization HLO compiles and matches byte-exactly.
+        XLA:CPU prunes unused entry parameters from pre-opt HLO exactly
+        like jax's compile does (_kept_var_idx), so the spec's kept-args
+        contract holds unchanged on both tiers.
+        """
+        if cpu_tier:
+            ir = lowered.compiler_ir("hlo")
+            return b"DLIMGHLO1" + ir.as_serialized_hlo_module_proto()
+        return comp._executable.xla_executable.serialize()
 
     def export(name, fn, example_inputs):
         placed = [jax.device_put(x, dev) for x in example_inputs]
         lowered = jax.jit(fn).lower(*placed)
         comp = lowered.compile()
-        blob = comp._executable.xla_executable.serialize()
+        blob = _program_blob(comp, lowered)
         with open(os.path.join(args.out, f"{name}.pjrt"), "wb") as f:
             f.write(blob)
         outs = comp(*placed)
@@ -205,11 +237,16 @@ def main() -> int:
 
         def export_served(name, jitted, tree_args, n_dynamic):
             placed = jax.device_put(tree_args, dev)
-            comp = jitted.lower(*placed).compile()
-            blob = comp._executable.xla_executable.serialize()
+            lowered = jitted.lower(*placed)
+            comp = lowered.compile()
+            blob = _program_blob(comp, lowered)
             with open(os.path.join(args.out, f"{name}.pjrt"), "wb") as f:
                 f.write(blob)
             flat = jax.tree_util.tree_leaves(placed)
+            # Both tiers keep exactly _kept_var_idx: the accelerator
+            # executable by construction, and the CPU tier because XLA:CPU
+            # prunes unused entry params from pre-opt HLO identically
+            # (measured: 219/138 kept on both sides for these programs).
             kept = sorted(getattr(comp._executable, "_kept_var_idx",
                                   range(len(flat))))
             n_weights = len(flat) - n_dynamic
