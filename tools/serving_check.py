@@ -41,7 +41,18 @@ def main() -> int:
                     help="check the s8 x s8 serving bundle")
     ap.add_argument("--int8-deform", action="store_true",
                     help="check the int8-deform BiRefNet serving bundle")
+    ap.add_argument("--backend", default="gpu", choices=["gpu", "cpu"],
+                    help="cpu = fully hermetic: bundle exported for and "
+                         "served by the repo's own CPU PJRT plugin "
+                         "(libdlimg_pjrt_cpu.so), golden computed on "
+                         "XLA:CPU — no accelerator, no relay")
+    ap.add_argument("--sam-image-size", type=int, default=0,
+                    help="override SAM model resolution (hermetic runs "
+                         "use tiny geometries)")
     args = ap.parse_args()
+    if args.backend == "cpu":
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
     os.makedirs(args.dir, exist_ok=True)
 
     # Two buckets: the main image exercises args.size, the secondary
@@ -54,7 +65,10 @@ def main() -> int:
         cmd = [sys.executable, os.path.join(REPO, "tools", "aot_export.py"),
                "--out", args.dir, "--program", "serving",
                "--variant", args.variant,
-               "--buckets", ",".join(map(str, buckets))]
+               "--buckets", ",".join(map(str, buckets)),
+               "--backend", args.backend]
+        if args.sam_image_size:
+            cmd += ["--sam-image-size", str(args.sam_image_size)]
         if args.birefnet:
             cmd += ["--birefnet", args.birefnet]
         if args.quantize:
@@ -80,15 +94,19 @@ size = {args.size}
 img_px = rng.integers(0, 256, (size, size, 4), dtype=np.uint8)
 img = dl.Image(dl.Extent(size, size), dl.Channels.rgba, img_px)
 import os
+extra = {{}}
+if {args.sam_image_size}:
+    extra["sam_image_size"] = {args.sam_image_size}
 env = dl.Environment(dl.Options(
-    backend=dl.Backend.gpu, allow_random_weights=True,
+    backend=dl.Backend.{args.backend}, allow_random_weights=True,
     compute_dtype="bfloat16",
     quantize_encoder={args.quantize!r},
     quantize_activations={args.quantize_activations!r},
     birefnet_int8_deform={args.int8_deform!r},
     compilation_cache_dir=os.environ.get(
         "DLIMG_COMPILATION_CACHE",
-        os.path.expanduser("~/.cache/dlimgedit_tpu/xla"))))
+        os.path.expanduser("~/.cache/dlimgedit_tpu/xla")),
+    **extra))
 seg = dl.Segmentation.process(img, env, variant={args.variant!r})
 point = (size // 2, size // 2)
 region = (size // 8, size // 8, size // 2, (3 * size) // 4)
