@@ -168,8 +168,16 @@ def _decomposed_rel_pos_bias(q: jnp.ndarray, rel_pos_h: jnp.ndarray,
 
 def _vit_attention(params: Params, x: jnp.ndarray, num_heads: int,
                    use_rel_pos: bool, use_flash: bool = False,
-                   flash_interpret: bool = False) -> jnp.ndarray:
-    """x: (B*, h, w, C) -> same shape."""
+                   flash_interpret: bool = False, apply_proj: bool = True,
+                   n_w: int | None = None,
+                   valid_rows: int | None = None) -> jnp.ndarray:
+    """x: (B*, h, w, C) -> same shape (channels 3C/... see apply_proj).
+
+    apply_proj=False returns the pre-projection attention output so the
+    windowed caller can apply `proj` AFTER unpartition-crop (per-token op;
+    skips the 16% pad-token rows of the padded grid — exact).
+    n_w/valid_rows: bottom-window pad-query skip, forwarded to the Pallas
+    path (ops/flash_attention._attention_head_fused)."""
     Bn, h, w, C = x.shape
     hd = C // num_heads
     qkv = linear(params["qkv"], x.reshape(Bn, h * w, C))
@@ -187,7 +195,8 @@ def _vit_attention(params: Params, x: jnp.ndarray, num_heads: int,
             k.reshape(Bn * num_heads, h * w, hd),
             v.reshape(Bn * num_heads, h * w, hd),
             rh.astype(q.dtype), rw.astype(q.dtype), grid_h=h, grid_w=w,
-            heads=num_heads, interpret=flash_interpret)
+            heads=num_heads, interpret=flash_interpret,
+            n_w=n_w, valid_rows=valid_rows)
         out = out.reshape(Bn, num_heads, h * w, hd)
     else:
         attn = jnp.einsum("bnqd,bnkd->bnqk", q, k,
@@ -201,6 +210,8 @@ def _vit_attention(params: Params, x: jnp.ndarray, num_heads: int,
                          preferred_element_type=jnp.float32,
                          precision=HIGHEST).astype(v.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(Bn, h, w, C)
+    if not apply_proj:
+        return out
     return linear(params["proj"], out)
 
 
@@ -285,12 +296,23 @@ def _vit_attn_branch(params: Params, x: jnp.ndarray, cfg: SamViTConfig,
         x = linear(params["proj"], att[:, :H, :W, :])
     elif window > 0:
         wx, meta = _window_partition(x, window)
+        _, _, _, _, nW, pad_b, _ = meta
         wx = wx.reshape(-1, window, window, C)
+        # Pad-query skip (Pallas path, batch 1 only: the bottom windows
+        # must be the contiguous tail of the window axis) + proj after the
+        # unpartition crop (per-token matmul on 4096 instead of 4900
+        # tokens) — both exact; pad KEYS still participate per SAM
+        # semantics, only the discarded pad-query rows are skipped.
+        skip_ok = B == 1 and pad_b > 0
         wx = _vit_attention(params, wx, cfg.num_heads, cfg.use_rel_pos,
                             use_flash=cfg.use_flash_attention,
-                            flash_interpret=cfg.flash_interpret)
+                            flash_interpret=cfg.flash_interpret,
+                            apply_proj=False,
+                            n_w=nW if skip_ok else None,
+                            valid_rows=window - pad_b if skip_ok else None)
         x = _window_unpartition(wx.reshape(-1, window * window, C), window, meta,
                                 H, W, C)
+        x = linear(params["proj"], x)
     else:
         x = _vit_attention(params, x, cfg.num_heads, cfg.use_rel_pos,
                            use_flash=cfg.use_flash_attention,

@@ -237,13 +237,26 @@ def _head_loop_kernel_qkv(q_ref, k_ref, v_ref, bhw_ref, o_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("grid_h", "grid_w", "heads",
-                                             "interpret", "bias_mode"))
+                                             "interpret", "bias_mode",
+                                             "n_w", "valid_rows"))
 def _attention_head_fused(q, k, v, rh_g, rw_g, *, grid_h: int, grid_w: int,
                           heads: int, interpret: bool = False,
-                          bias_mode: str = "grid") -> jnp.ndarray:
+                          bias_mode: str = "grid", n_w: int | None = None,
+                          valid_rows: int | None = None) -> jnp.ndarray:
     """Window-per-program variant for small-N geometries; q/k/v (G, N, hd)
     with G == windows * heads, head index fastest (the reshape from
-    (B, nh, N, hd) used by the callers)."""
+    (B, nh, N, hd) used by the callers).
+
+    n_w / valid_rows (optional): pad-query skip for the BOTTOM row of
+    windows. The window partition zero-pads the token grid (SAM semantics:
+    pad KEYS participate, pad-QUERY outputs are discarded at unpartition),
+    so for the last `n_w` windows only the first `valid_rows` window rows
+    carry queries whose outputs survive. Those windows run through a
+    second pallas_call whose q/bias/output blocks cover just the leading
+    valid_rows*grid_w tokens — zero extra copies (both calls read the same
+    HBM operands via BlockSpecs; the skipped output rows are zero-filled,
+    and the caller's unpartition crops them). ViT-H @1024: 5 of 25 windows
+    drop 84/196 query rows = 8.6% of windowed-attention work."""
     G, N, hd = q.shape
     scale = hd ** -0.5
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
@@ -257,22 +270,39 @@ def _attention_head_fused(q, k, v, rh_g, rw_g, *, grid_h: int, grid_w: int,
     kernel = functools.partial(_head_loop_kernel, grid_h=grid_h,
                                grid_w=grid_w, scale=scale)
 
-    def spec(last):
-        return pl.BlockSpec((1, heads, N, last), lambda w: (w, 0, 0, 0),
+    skip = (n_w is not None and valid_rows is not None
+            and 0 < valid_rows < grid_h and 0 < n_w < W)
+    W_full = W - n_w if skip else W
+
+    def spec(last, nq=N, off=0):
+        return pl.BlockSpec((1, heads, nq, last),
+                            lambda w, off=off: (w + off, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(W,),
-        in_specs=[spec(hd), spec(hd), spec(hd), spec(grid_h + grid_w)],
-        out_specs=spec(hd),
-        out_shape=jax.ShapeDtypeStruct((W, heads, N, hd), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * G * N * N * hd,
-            bytes_accessed=4 * G * N * hd * 2,
-            transcendentals=G * N * N),
-        interpret=interpret,
-    )(q4, k4, v4, b4)
+    def call(n_windows, nq, off):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_windows,),
+            in_specs=[spec(hd, nq, off), spec(hd, N, off), spec(hd, N, off),
+                      spec(grid_h + grid_w, nq, off)],
+            out_specs=pl.BlockSpec((1, heads, nq, hd),
+                                   lambda w: (w, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_windows, heads, nq, hd),
+                                           q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * n_windows * heads * nq * N * hd,
+                bytes_accessed=4 * n_windows * heads * N * hd * 2,
+                transcendentals=n_windows * heads * nq * N),
+            interpret=interpret,
+        )(q4, k4, v4, b4)
+
+    out = call(W_full, N, 0)
+    if skip:
+        vN = valid_rows * grid_w
+        out_bot = call(n_w, vN, W_full)
+        out_bot = jnp.pad(out_bot, ((0, 0), (0, 0), (0, N - vN), (0, 0)))
+        out = jnp.concatenate([out, out_bot], axis=0)
     return out.reshape(G, N, hd)
 
 
@@ -341,7 +371,9 @@ def windowed_attention_qkv(qkv, rh, rw, *, grid_h: int, grid_w: int,
 
 def flash_attention_relpos(q, k, v, rh, rw, *, grid_h: int, grid_w: int,
                            heads: int | None = None,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           n_w: int | None = None,
+                           valid_rows: int | None = None) -> jnp.ndarray:
     """Rel-pos attention over (G, N, hd) groups; N == grid_h * grid_w.
 
     rh: (grid_h, grid_h, hd) pre-gathered (rel_pos_h[idx]) or (2*gh-1, hd)
@@ -349,7 +381,9 @@ def flash_attention_relpos(q, k, v, rh, rw, *, grid_h: int, grid_w: int,
     program for windows (N <= 256), one spatial row for the global grid.
     `heads` (optional): groups are windows*heads with head fastest — enables
     the window-per-program kernel for small N (ViT-H windowed layers:
-    25 programs of 16 in-kernel head iterations instead of 400 programs)."""
+    25 programs of 16 in-kernel head iterations instead of 400 programs).
+    n_w / valid_rows (optional, head-fused path only): pad-query skip for
+    the bottom window row — see _attention_head_fused."""
     N = q.shape[1]
     if rh.ndim == 2:
         rh_g, rw_g = _gathered_tables(rh, rw, grid_h, grid_w, q.dtype)
@@ -360,7 +394,8 @@ def flash_attention_relpos(q, k, v, rh, rw, *, grid_h: int, grid_w: int,
         return _attention_head_fused(q, k, v, rh_g, rw_g, grid_h=grid_h,
                                      grid_w=grid_w, heads=heads,
                                      bias_mode="expand",
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     n_w=n_w, valid_rows=valid_rows)
     # Whole group per program for windows; for the big global grids 128-row
     # q-blocks measured fastest on v5e (1.92 ms vs 2.52 @64 / 2.09 @256 per
     # ViT-H global layer with the precomputed bias halves).

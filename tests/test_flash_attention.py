@@ -210,3 +210,34 @@ def test_tinyvit_levit_flash_matches_dense():
     flash = tinyvit.tiny_vit_apply(params, x, fcfg)
     np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_head_fused_pad_query_skip_matches_full():
+    """Bottom-window pad-query skip (n_w/valid_rows): valid query rows are
+    bit-identical to the full computation; the skipped pad rows come back
+    zero (the unpartition crops them). Geometry mirrors ViT-H @1024:
+    row-major windows with the bottom row the contiguous tail."""
+    heads, gh, gw, hd = 2, 7, 7, 16
+    N = gh * gw
+    n_wc, n_wr = 3, 3          # 3x3 window grid, bottom row padded
+    W = n_wc * n_wr
+    valid_rows = 4             # rows >= 4 in bottom windows are pad queries
+    G = W * heads
+    rng = np.random.default_rng(11)
+    q, k, v = (jnp.asarray(rng.standard_normal((G, N, hd)).astype(np.float32))
+               for _ in range(3))
+    rh = jnp.asarray(rng.standard_normal((gh, gh, hd)).astype(np.float32) * 0.3)
+    rw = jnp.asarray(rng.standard_normal((gw, gw, hd)).astype(np.float32) * 0.3)
+    full = flash_attention_relpos(q, k, v, rh, rw, grid_h=gh, grid_w=gw,
+                                  heads=heads, interpret=True)
+    skip = flash_attention_relpos(q, k, v, rh, rw, grid_h=gh, grid_w=gw,
+                                  heads=heads, interpret=True,
+                                  n_w=n_wc, valid_rows=valid_rows)
+    full = np.asarray(full).reshape(W, heads, N, hd)
+    skip = np.asarray(skip).reshape(W, heads, N, hd)
+    vN = valid_rows * gw
+    # Interior + side windows: identical everywhere.
+    np.testing.assert_array_equal(skip[:-n_wc], full[:-n_wc])
+    # Bottom windows: identical on valid query rows, zero on skipped rows.
+    np.testing.assert_array_equal(skip[-n_wc:, :, :vN], full[-n_wc:, :, :vN])
+    assert not np.any(skip[-n_wc:, :, vN:])
