@@ -196,3 +196,28 @@ def test_prepare_image_normalisation_reference_values():
     # indirectly via mask determinism (full numerics covered above).
     assert IMAGENET_MEAN == (0.485, 0.456, 0.406)
     assert IMAGENET_STD == (0.229, 0.224, 0.225)
+
+
+def test_microbench_prefix_mirror_matches_full_model():
+    """tools/tpu_microbench.birefnet_prefix(cfg, 7) must reproduce
+    birefnet_apply exactly — the per-stage ledger is only meaningful if
+    its structural mirror of the model cannot drift."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.tpu_microbench import birefnet_prefix
+
+    cfg = BiRefNetConfig(img_size=64)
+    params = init_birefnet(jax.random.PRNGKey(1), cfg)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    full = birefnet_apply(params, x, cfg)
+    mirror = birefnet_prefix(cfg, 7)(params, x)
+    np.testing.assert_allclose(np.asarray(mirror), np.asarray(full),
+                               atol=1e-6)
+    # Earlier stages produce progressively earlier intermediates; spot
+    # check one shape per region of the graph.
+    assert birefnet_prefix(cfg, 1)(params, x).shape[-1] \
+        == cfg.swin.embed_dim * 8
+    assert birefnet_prefix(cfg, 4)(params, x).ndim == 4

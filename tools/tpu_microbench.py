@@ -283,6 +283,117 @@ def cmd_birefnet(dev):
             print(f"birefnet @{res} ({tag}): {ms:8.2f} ms", flush=True)
 
 
+def birefnet_prefix(cfg, k):
+    """Cumulative BiRefNet prefix (stage k of 7) for the per-stage ledger.
+
+    Mirrors birefnet_apply's structure the way cmd_vit_prefix mirrors the
+    ViT block loop; tests/test_birefnet.py pins prefix(7) == the full
+    model so the mirror cannot drift silently."""
+    from dlimgedit_tpu.models import birefnet
+    from dlimgedit_tpu.models.swin import swin_apply
+
+    def f(params, x):
+        S = x.shape[1]
+        feats = swin_apply(params["backbone"], x, cfg.swin)
+        if k == 1:
+            return feats[3]
+        if cfg.mul_scl_ipt == "cat":
+            x_half = birefnet.resize_align_corners(x, (S // 2, S // 2))
+            feats_half = swin_apply(params["backbone"], x_half, cfg.swin)
+            feats = [jnp.concatenate(
+                [f_, birefnet.resize_align_corners(fh, f_.shape[1:3])],
+                axis=-1) for f_, fh in zip(feats, feats_half)]
+        x1, x2, x3, x4 = feats
+        if k == 2:
+            return x4
+        if cfg.cxt_num:
+            ctx = [birefnet.resize_align_corners(f_, x4.shape[1:3])
+                   for f_ in (x1, x2, x3)]
+            x4 = jnp.concatenate(ctx[-cfg.cxt_num:] + [x4], axis=-1)
+        x4 = birefnet._apply_dec_blk(params["squeeze"], x4, cfg)
+        if k == 3:
+            return x4
+        dec = params["decoder"]
+        pat = birefnet._get_patches(x, x4.shape[1])
+        x4 = jnp.concatenate(
+            [x4, birefnet._apply_simple_convs(dec["ipt_blk5"], pat)], -1)
+        p4 = birefnet._apply_dec_blk(dec["dec4"], x4, cfg)
+        p4 = birefnet._gdt_gate(dec, 4, p4)
+        _p4 = birefnet.resize_align_corners(p4, x3.shape[1:3])
+        _p3 = _p4 + birefnet._conv(dec["lat4"], x3)
+        if k == 4:
+            return _p3
+        pat = birefnet._get_patches(x, x3.shape[1])
+        _p3 = jnp.concatenate(
+            [_p3, birefnet._apply_simple_convs(dec["ipt_blk4"], pat)], -1)
+        p3 = birefnet._apply_dec_blk(dec["dec3"], _p3, cfg)
+        p3 = birefnet._gdt_gate(dec, 3, p3)
+        _p3u = birefnet.resize_align_corners(p3, x2.shape[1:3])
+        _p2 = _p3u + birefnet._conv(dec["lat3"], x2)
+        if k == 5:
+            return _p2
+        pat = birefnet._get_patches(x, x2.shape[1])
+        _p2 = jnp.concatenate(
+            [_p2, birefnet._apply_simple_convs(dec["ipt_blk3"], pat)], -1)
+        p2 = birefnet._apply_dec_blk(dec["dec2"], _p2, cfg)
+        p2 = birefnet._gdt_gate(dec, 2, p2)
+        _p2u = birefnet.resize_align_corners(p2, x1.shape[1:3])
+        _p1 = _p2u + birefnet._conv(dec["lat2"], x1)
+        if k == 6:
+            return _p1
+        pat = birefnet._get_patches(x, x1.shape[1])
+        _p1 = jnp.concatenate(
+            [_p1, birefnet._apply_simple_convs(dec["ipt_blk2"], pat)], -1)
+        _p1 = birefnet._apply_dec_blk(dec["dec1"], _p1, cfg)
+        _p1 = birefnet.resize_align_corners(_p1, (S, S))
+        _p1 = jnp.concatenate(
+            [_p1, birefnet._apply_simple_convs(dec["ipt_blk1"], x)], -1)
+        return birefnet._conv(dec["head"], _p1)
+    return f
+
+
+def cmd_birefnet_stages(dev):
+    """BiRefNet per-stage ledger (VERDICT round-3 #4): cumulative prefix
+    timing at BOTH runtime resolutions, with per-stage deltas and the
+    XLA-estimated FLOP floor per delta (compiled cost analysis, so the
+    floor prices the graph actually executed)."""
+    from dlimgedit_tpu.models import birefnet
+
+    prefix = birefnet_prefix
+    names = ["swin full-res", "+swin half-res cat", "+cxt+squeeze",
+             "+level4 (ipt5/dec4/gdt/lat4)", "+level3", "+level2",
+             "+level1+head"]
+
+    def stage_flops(cfg, params, x, k):
+        f = prefix(cfg, k)
+        try:
+            ca = jax.jit(f).lower(params, x).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float(ca.get("flops", 0.0)) / 1e9
+        except Exception:
+            return 0.0
+
+    for res in (1024, 2048):
+        x = jax.device_put(_img(res), dev)
+        cfg = birefnet.BiRefNetConfig(img_size=res)
+        p = jax.device_put(_bf16(birefnet.init_birefnet(
+            jax.random.PRNGKey(0), cfg)), dev)
+        print(f"--- birefnet @{res} ---", flush=True)
+        prev_ms, prev_gf = 0.0, 0.0
+        for k in range(1, 8):
+            f = prefix(cfg, k)
+            ms = slope_ms(lambda pp, xx, e, f=f: f(
+                pp, xx * (1 + e).astype(xx.dtype)), (p, x))
+            gf = stage_flops(cfg, p, x, k)
+            d_ms, d_gf = ms - prev_ms, gf - prev_gf
+            floor = d_gf / PEAK_TFLOPS_BF16  # GFLOP / (GFLOP/ms)
+            mfu = 100.0 * (d_gf / d_ms) / PEAK_TFLOPS_BF16 if d_ms > 0 else 0
+            print(f"{names[k-1]:30s} cum {ms:8.2f} ms  delta {d_ms:7.2f} ms"
+                  f"  {d_gf:8.1f} GF  {mfu:5.1f}% MFU  floor {floor:6.2f} ms",
+                  flush=True)
+            prev_ms, prev_gf = ms, gf
+
+
 def cmd_vit_prefix(dev, variant="vit_h"):
     """Cumulative prefix timing of one ViT encoder: patch embed + the first
     k blocks (k = 0, 4, 8, ... depth) + neck. The deltas include every
@@ -510,7 +621,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("command", choices=["encoders", "batch", "attention",
                                         "tinyvit-stages", "mfu", "birefnet",
-                                        "vit-prefix"])
+                                        "birefnet-stages", "vit-prefix"])
     ap.add_argument("--variant", default=None,
                     help="encoder variant (mfu/vit-prefix default vit_h; "
                          "batch defaults mobile_sam)")
@@ -533,6 +644,7 @@ def main(argv=None) -> int:
     {"encoders": cmd_encoders,
      "attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages,
      "birefnet": cmd_birefnet,
+     "birefnet-stages": cmd_birefnet_stages,
      }[args.command](dev)
     return 0
 
