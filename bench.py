@@ -204,6 +204,21 @@ def _run():
     put_tiny_ms = min_ms(
         lambda: jax.device_put(tiny_np, env.device).block_until_ready(),
         args.iters)
+    # Pipelined pack+H2D A/B (VERDICT r3 #6): with n chunks the host pack
+    # of row block i+1 overlaps block i's in-flight async put. process()
+    # picks the chunk count via resolve_h2d_chunks (4 co-located, 1 on the
+    # relay/CPU); both combined costs are recorded so each transport's
+    # winner is visible in the artifact.
+    from dlimgedit_tpu.ops.preprocess import pack_and_put_canvas
+
+    def _pipe(n):
+        parts, _ = pack_and_put_canvas(img.view(), bucket, env.device,
+                                       pooled=accel, n_chunks=n)
+        for p in parts:
+            p.block_until_ready()
+
+    pack_h2d_seq_ms = min_ms(lambda: _pipe(1), args.iters)
+    pack_h2d_pipe_ms = min_ms(lambda: _pipe(4), args.iters)
 
     # Warmup every executable AND every fetch path (first D2H per program can
     # stall on remote-attached TPUs).
@@ -294,7 +309,7 @@ def _run():
                               (bundle.params, canvas, sizes))
 
     embed = _build_embed_fn(bundle)
-    emb = embed(bundle.params, canvas, sizes)
+    emb = embed(bundle.params, (canvas,), sizes)
     points = jax.device_put(np.array([[[512.0, 512.0], [0.0, 0.0]]],
                                      np.float32), env.device)
     labels = jax.device_put(np.array([[1.0, -1.0]], np.float32), env.device)
@@ -346,6 +361,8 @@ def _run():
         "device_compute_mask_ms": round(dev_mask_ms, 3),
         "host_pack_ms": round(pack_ms, 3),
         "h2d_canvas_ms": round(h2d_ms, 3),
+        "pack_h2d_seq_ms": round(pack_h2d_seq_ms, 3),
+        "pack_h2d_pipelined_ms": round(pack_h2d_pipe_ms, 3),
         "mask_d2h_est_ms": round(d2h_mask_ms, 3),
         "mask_unpack_ms": round(unpack_ms, 3),
         # Raw measured dispatch latency of process through the tunnel

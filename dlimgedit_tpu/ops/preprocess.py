@@ -15,6 +15,7 @@ up to the bucket.
 
 from __future__ import annotations
 
+import os
 import threading
 
 import jax
@@ -74,14 +75,15 @@ def staging_canvas(bucket: int) -> np.ndarray:
     ring = bufs.setdefault(bucket, [])
     if len(ring) < _POOL_DEPTH:
         buf = np.empty((bucket, bucket, 3), dtype=np.uint8)
-        ring.append([buf, None])
+        ring.append([buf, []])
         return buf
     # Round-robin from the least-recently-issued buffer, skipping any whose
-    # registered device_put has not completed yet.
+    # registered device_put (possibly several, for row-chunked pipelined
+    # transfers) has not completed yet.
     for i, entry in enumerate(ring):
-        buf, xfer = entry
-        if xfer is None or _transfer_done(xfer):
-            entry[1] = None
+        buf, xfers = entry
+        if all(_transfer_done(x) for x in xfers):
+            entry[1] = []
             ring.append(ring.pop(i))  # most-recently-issued to the back
             return buf
     # Every pooled buffer still has a transfer in flight: hand out a fresh
@@ -90,16 +92,90 @@ def staging_canvas(bucket: int) -> np.ndarray:
 
 
 def note_canvas_transfer(canvas: np.ndarray, device_array) -> None:
-    """Record the in-flight ``device_put`` of a pooled canvas (matched by
-    buffer identity; unpooled canvases are ignored)."""
+    """Record an in-flight ``device_put`` of a pooled canvas (matched by
+    buffer identity — ``device_array`` may be a put of the whole canvas or
+    of one of its row chunks; unpooled canvases are ignored)."""
     bufs = getattr(_canvas_pool, "bufs", None)
     if not bufs:
         return
+    base = canvas.base if canvas.base is not None else canvas
     for ring in bufs.values():
         for entry in ring:
-            if entry[0] is canvas:
-                entry[1] = device_array
+            if entry[0] is base:
+                entry[1].append(device_array)
                 return
+
+
+def resolve_h2d_chunks(option_value: int, platform: str) -> int:
+    """Resolve Options.h2d_overlap_chunks (0 = auto).
+
+    Auto overlaps pack with per-chunk async H2D only where the DMA is
+    real: co-located TPU gets 4 row chunks (the host pack of chunk i+1
+    runs while chunk i's copy is in flight — device_put returns before
+    the transfer completes). Through the axon relay every put pays a
+    fixed per-op RPC (~0.7-2 ms each, CLAUDE.md), so extra puts cost more
+    than the pack they hide; XLA:CPU may alias host memory zero-copy.
+    Both resolve to 1 (the single-put baseline)."""
+    if option_value:
+        return max(1, int(option_value))
+    if platform == "tpu" and not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return 4
+    return 1
+
+
+def pack_and_put_canvas(view: ImageView, bucket: int, device, *,
+                        pooled: bool, n_chunks: int = 1):
+    """Pack an image into a (bucket, bucket, 3) canvas and transfer it,
+    overlapping host pack with H2D when ``n_chunks > 1`` (VERDICT r3 #6).
+
+    Returns ``(parts, canvas)``: ``parts`` is a tuple of device arrays
+    whose axis-0 concatenation is the full canvas (a 1-tuple for the
+    single-put baseline). The chunked pipeline packs row block i, issues
+    its asynchronous ``device_put``, then packs block i+1 while block i's
+    copy is in flight; consumers re-join the blocks on device (a ~µs HBM
+    copy) via :func:`join_canvas_parts`. Chunks never share rows, so a
+    zero-copy-aliased chunk view can never observe a later block's pack.
+    """
+    arr = view.pixels
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    cmap = RGB_CHANNEL_MAP[view.channels]
+    h, w = arr.shape[:2]
+    canvas = staging_canvas(bucket) if pooled \
+        else np.zeros((bucket, bucket, 3), dtype=np.uint8)
+    if n_chunks <= 1:
+        _pack_rows(arr, cmap, canvas, 0, h, w)
+        part = jax.device_put(canvas, device)
+        if pooled:
+            note_canvas_transfer(canvas, part)
+        return (part,), canvas
+    rows = -(-bucket // n_chunks)  # ceil: last chunk may be short
+    parts = []
+    for r0 in range(0, bucket, rows):
+        r1 = min(r0 + rows, bucket)
+        if r0 < h:  # rows beyond the image stay stale/zero (masked anyway)
+            _pack_rows(arr, cmap, canvas, r0, min(r1, h), w)
+        part = jax.device_put(canvas[r0:r1], device)
+        if pooled:
+            note_canvas_transfer(canvas, part)
+        parts.append(part)
+    return tuple(parts), canvas
+
+
+def join_canvas_parts(parts) -> jnp.ndarray:
+    """Re-join row chunks from :func:`pack_and_put_canvas` on device."""
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _pack_rows(arr: np.ndarray, cmap, canvas: np.ndarray,
+               r0: int, r1: int, w: int) -> None:
+    """Channel-map pack arr[r0:r1, :w] -> canvas[r0:r1, :w] (native loop
+    when available; both row slices stay C-contiguous)."""
+    src, dst, ph = arr[r0:r1], canvas[r0:r1], r1 - r0
+    if not hostops.pack_rgb(src, cmap, dst, ph, w):
+        dst[:ph, :w, 0] = src[:ph, :, cmap[0]]
+        dst[:ph, :w, 1] = src[:ph, :, cmap[1]]
+        dst[:ph, :w, 2] = src[:ph, :, cmap[2]]
 
 
 def pack_rgb_canvas(view: ImageView, bucket: int,
@@ -122,10 +198,7 @@ def pack_rgb_canvas(view: ImageView, bucket: int,
     h, w = arr.shape[:2]
     canvas = np.zeros((bucket, bucket, 3), dtype=np.uint8) if out is None \
         else out
-    if not hostops.pack_rgb(arr, cmap, canvas, h, w):
-        canvas[:h, :w, 0] = arr[:, :, cmap[0]]
-        canvas[:h, :w, 1] = arr[:, :, cmap[1]]
-        canvas[:h, :w, 2] = arr[:, :, cmap[2]]
+    _pack_rows(arr, cmap, canvas, 0, h, w)
     return canvas
 
 

@@ -16,8 +16,8 @@ from ..errors import ModelNotFoundError
 from ..image.resize import resize_mask
 from ..models.common import cast_tree
 from ..ops.postprocess import sigmoid_to_u8
-from ..ops.preprocess import (note_canvas_transfer, pack_rgb_canvas,
-                              pick_bucket, staging_canvas)
+from ..ops.preprocess import (join_canvas_parts, pack_and_put_canvas,
+                              pick_bucket, resolve_h2d_chunks)
 from ..ops.resample import apply_resample, resample_matrix
 from ..types import Channels, Image, ImageView
 from ..utils.pytree_io import load_pytree
@@ -86,9 +86,9 @@ def _build_birefnet_fn(bundle: BiRefNetBundle, bucket: int):
     cfg = bundle.cfg
     S = cfg.img_size
 
-    def run(params, canvas, sizes):
+    def run(params, canvas_parts, sizes):
         # Fused: dynamic resize to model resolution + ImageNet normalise.
-        img = canvas.astype(jnp.float32) / 255.0
+        img = join_canvas_parts(canvas_parts).astype(jnp.float32) / 255.0
         R = resample_matrix(S, bucket, S, sizes[0], antialias=True)
         C = resample_matrix(S, bucket, S, sizes[1], antialias=True)
         x = apply_resample(R, C, img)
@@ -108,19 +108,18 @@ def birefnet_segment(env, view: ImageView) -> Image:
             else "general")
     bundle = env.birefnet_model(kind)
     bucket = pick_bucket(extent)
-    # Pooled staging canvas off-CPU (no 3 MB zeroing; the resample matrices
-    # in _build_birefnet_fn mask everything outside [:h, :w]).
-    canvas = pack_rgb_canvas(
-        view, bucket,
-        out=(staging_canvas(bucket)
-             if env.device.platform != "cpu" else None))
-    sizes = np.array([extent.height, extent.width], np.int32)
+    sizes = env.sizes_on_device((extent.height, extent.width))
     run = env.executable(("birefnet", kind, bucket),
                          lambda: _build_birefnet_fn(bundle, bucket))
-    canvas_d = jax.device_put(canvas, env.device)
-    note_canvas_transfer(canvas, canvas_d)
-    mask_model = np.asarray(run(bundle.params, canvas_d,
-                                jax.device_put(sizes, env.device)))
+    # Pooled staging canvas off-CPU (no 3 MB zeroing; the resample matrices
+    # in _build_birefnet_fn mask everything outside [:h, :w]); pack + H2D
+    # pipelined per row chunk where the DMA is real (resolve_h2d_chunks).
+    parts, _ = pack_and_put_canvas(
+        view, bucket, env.device,
+        pooled=env.device.platform != "cpu",
+        n_chunks=resolve_h2d_chunks(env.options.h2d_overlap_chunks,
+                                    env.device.platform))
+    mask_model = np.asarray(run(bundle.params, parts, sizes))
     # Box-filter resize back to the original extent (image.cpp:53-62).
     out = resize_mask(ImageView.from_array(mask_model, Channels.mask), extent)
     return Image(extent, Channels.mask, out)

@@ -124,9 +124,30 @@ class Environment:
             "general": Lazy(), "high_res": Lazy()}
         self._executables: Dict[Tuple, Callable] = {}
         self._exec_lock = threading.Lock()
+        self._sizes_cache: Dict[Tuple[int, ...], object] = {}
         from ..utils.profiling import Profiler
 
         self.profiler = Profiler(enabled=self.options.enable_profiling)
+
+    def sizes_on_device(self, values: Tuple[int, ...]):
+        """Device-resident int32 sizes vector, cached per value tuple.
+
+        Every process()/segment call feeds a tiny dynamic-sizes array; on
+        the tunneled relay each device_put is a fixed-cost RPC (~0.7-2 ms,
+        CLAUDE.md) regardless of payload, and extents repeat heavily in
+        serving (video frames, fixed-size canvases). Bounded FIFO cache;
+        thread-safe under the executable lock."""
+        key = tuple(int(v) for v in values)
+        with self._exec_lock:
+            hit = self._sizes_cache.get(key)
+            if hit is not None:
+                return hit
+        arr = jax.device_put(np.asarray(key, np.int32), self.device)
+        with self._exec_lock:
+            if len(self._sizes_cache) >= 256:
+                self._sizes_cache.pop(next(iter(self._sizes_cache)))
+            self._sizes_cache[key] = arr
+        return arr
 
     # -- model registry ------------------------------------------------------
 

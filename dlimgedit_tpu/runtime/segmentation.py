@@ -35,11 +35,11 @@ from ..ops.postprocess import (
     upsample_mask_logits,
 )
 from ..ops.preprocess import (
-    note_canvas_transfer,
-    pack_rgb_canvas,
+    join_canvas_parts,
+    pack_and_put_canvas,
     pick_bucket,
+    resolve_h2d_chunks,
     sam_preprocess,
-    staging_canvas,
 )
 from ..types import Channels, Extent, Image, ImageView, Point, Region
 from .environment import Environment
@@ -56,7 +56,8 @@ class Mask:
 def _build_embed_fn(bundle):
     cfg = bundle.cfg
 
-    def run(params, canvas, sizes):
+    def run(params, canvas_parts, sizes):
+        canvas = join_canvas_parts(canvas_parts)
         x = sam_preprocess(canvas, sizes[0], sizes[1], sizes[2], sizes[3],
                            image_size=cfg.image_size,
                            compute_dtype=bundle.compute_dtype)
@@ -178,22 +179,21 @@ class Segmentation:
             # 4096-bucket (48 MB) canvas for a 4000 px input and compiled a
             # whole extra embed executable.
             bucket = pick_bucket(extent_in)
-            canvas = pack_rgb_canvas(
-                view, bucket, out=staging_canvas(bucket) if pooled else None)
-            sizes = np.array([extent_in.height, extent_in.width,
-                              target.height, target.width], np.int32)
+            sizes = (extent_in.height, extent_in.width,
+                     target.height, target.width)
         else:
             bucket = pick_bucket(extent)
-            canvas = pack_rgb_canvas(
-                view, bucket, out=staging_canvas(bucket) if pooled else None)
-            sizes = np.array([extent.height, extent.width,
-                              target.height, target.width], np.int32)
+            sizes = (extent.height, extent.width,
+                     target.height, target.width)
         embed = env.executable(("embed", variant, bucket),
                                lambda: _build_embed_fn(bundle))
-        canvas_d = jax.device_put(canvas, env.device)
-        if pooled:
-            note_canvas_transfer(canvas, canvas_d)
-        emb = embed(bundle.params, canvas_d, jax.device_put(sizes, env.device))
+        # Pack + H2D, pipelined per row chunk where the DMA is real
+        # (resolve_h2d_chunks; single put on CPU / through the relay).
+        parts, _ = pack_and_put_canvas(
+            view, bucket, env.device, pooled=pooled,
+            n_chunks=resolve_h2d_chunks(env.options.h2d_overlap_chunks,
+                                        env.device.platform))
+        emb = embed(bundle.params, parts, env.sizes_on_device(sizes))
         return Segmentation(env, variant, emb, extent, scale,
                             (target.height, target.width))
 
@@ -236,8 +236,9 @@ class Segmentation:
         bundle = env.sam_model(self._variant)
         bucket = pick_bucket(self._original)
         points, labels = self._prompt_arrays(point, region)
-        sizes = np.array([self._original.height, self._original.width,
-                          self._crop[0], self._crop[1]], np.int32)
+        sizes = env.sizes_on_device((self._original.height,
+                                     self._original.width,
+                                     self._crop[0], self._crop[1]))
         decode = env.executable(
             ("decode", self._variant, bucket, multimask, largest_component),
             lambda: _build_decode_fn(bundle, bucket, multimask,
@@ -304,8 +305,9 @@ class Segmentation:
             points[i] = p[0]
             labels[i] = l[0]
         bucket = pick_bucket(self._original)
-        sizes = np.array([self._original.height, self._original.width,
-                          self._crop[0], self._crop[1]], np.int32)
+        sizes = env.sizes_on_device((self._original.height,
+                                     self._original.width,
+                                     self._crop[0], self._crop[1]))
         lcc = (env.options.largest_region_object
                and any(isinstance(pr, Region) for pr in prompts))
         decode = env.executable(

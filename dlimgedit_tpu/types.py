@@ -216,6 +216,12 @@ class Options:
     # sRGB Mitchell/Catmull-Rom resize on CPU — the reference's exact
     # numerics, image.cpp:37-51; the device program then only normalises).
     preprocess_mode: str = "device"
+    # H2D pipelining: pack the input canvas in row chunks and issue each
+    # chunk's async device_put before packing the next, hiding the host
+    # pack behind the previous chunk's DMA. 0 = auto (4 chunks on
+    # co-located TPU; 1 — the single-put baseline — on CPU and through
+    # the axon relay, where per-put RPC overhead outweighs the overlap).
+    h2d_overlap_chunks: int = 0
     # Persistent XLA compilation cache directory. When set, every jitted
     # executable is AOT-serialised here on first compile and reloaded on
     # later runs/processes — the deployment analog of the reference shipping

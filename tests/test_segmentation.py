@@ -261,3 +261,58 @@ def test_serving_fetched_outputs_are_1d(env):
     lbl4 = jax.ShapeDtypeStruct((4, 2), np.float32)
     packed, iou = jax.eval_shape(bfn, bundle.params, emb, pts4, lbl4, sizes)
     assert packed.ndim == 1, packed.shape
+
+
+def test_process_chunked_h2d_parity(env, seg):
+    """Options.h2d_overlap_chunks > 1 (row-chunked pack+put pipeline) must
+    produce the identical mask to the single-put baseline — the embed
+    program re-joins the chunks on device before any compute."""
+    env2 = Environment(Options(
+        backend=Backend.cpu,
+        allow_random_weights=True,
+        compute_dtype="float32",
+        sam_image_size=128,
+        h2d_overlap_chunks=3,
+    ))
+    rng = np.random.default_rng(0)
+    img = Image(Extent(96, 64), Channels.rgba,
+                rng.integers(0, 256, (64, 96, 4), dtype=np.uint8))
+    seg2 = Segmentation.process(img, env2)
+    m1 = seg.compute_mask(Point(40, 30))
+    m2 = seg2.compute_mask(Point(40, 30))
+    np.testing.assert_array_equal(np.asarray(m1.pixels),
+                                  np.asarray(m2.pixels))
+
+
+def test_concurrent_chunked_process(env):
+    """Concurrent process() calls on the chunked H2D path must be
+    thread-safe (per-thread canvas pools, locked sizes cache) and produce
+    the same masks as serial processing."""
+    import threading
+
+    env2 = Environment(Options(
+        backend=Backend.cpu,
+        allow_random_weights=True,
+        compute_dtype="float32",
+        sam_image_size=128,
+        h2d_overlap_chunks=2,
+    ))
+    rng = np.random.default_rng(5)
+    imgs = [Image(Extent(90 + i, 60 + i), Channels.rgb,
+                  rng.integers(0, 256, (60 + i, 90 + i, 3), dtype=np.uint8))
+            for i in range(4)]
+    serial = [Segmentation.process(im, env2).compute_mask(Point(30, 20))
+              for im in imgs]
+    results = {}
+
+    def worker(i):
+        seg = Segmentation.process(imgs[i], env2)
+        results[i] = seg.compute_mask(Point(30, 20))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(4):
+        np.testing.assert_array_equal(results[i].pixels, serial[i].pixels)

@@ -315,8 +315,10 @@ def main() -> int:
                                   dtype=np.uint8)
             side = min(bucket, bundle.cfg.image_size)
             sizes = np.array([bucket, bucket, side, side], np.int32)
+            # The canvas rides as a 1-tuple (single-put serving layout);
+            # pytree flattening keeps the exported arg list identical.
             emb, = export_served(f"serve_embed_{args.variant}_{bucket}",
-                                 embed, (bundle.params, canvas, sizes), 2)
+                                 embed, (bundle.params, (canvas,), sizes), 2)
             pts = np.array([[[bucket / 2, bucket / 2], [0.0, 0.0]]],
                            np.float32)
             lbl = np.array([[1.0, -1.0]], np.float32)
@@ -341,7 +343,7 @@ def main() -> int:
                                   dtype=np.uint8)
             bsizes = np.array([bucket, bucket], np.int32)
             export_served(f"serve_birefnet_{kind}_{bucket}", run,
-                          (bbundle.params, canvas, bsizes), 2)
+                          (bbundle.params, (canvas,), bsizes), 2)
             biref_specs.append(f"{kind}:{bucket}:{bbundle.resolution}")
         with open(os.path.join(args.out, "serving.txt"), "w") as f:
             f.write(f"variant\t{args.variant}\n")

@@ -90,26 +90,36 @@ def _img(size=1024, key=1):
             * 0.5).astype(jnp.bfloat16)
 
 
-def cmd_encoders(dev):
+def cmd_encoders(dev, quant="none"):
     from dlimgedit_tpu.models import birefnet, sam as sam_lib, tinyvit, vit_sam
 
+    def _q(params):
+        """Environment-exact quantisation order: int8 scales from the f32
+        weights, THEN the bf16 cast (SamModelBundle, environment.py)."""
+        if quant == "none":
+            return _bf16(params)
+        from dlimgedit_tpu.ops.quant import quantize_encoder
+
+        return _bf16(quantize_encoder(params, act_int8=(quant == "w8a8")))
+
     x = jax.device_put(_img(), dev)
+    tag = "" if quant == "none" else f" [{quant}]"
 
     cfg = tinyvit.TinyViTConfig(img_size=1024)
-    p = jax.device_put(_bf16(tinyvit.init_tiny_vit(jax.random.PRNGKey(0),
-                                                   cfg)), dev)
+    p = jax.device_put(_q(tinyvit.init_tiny_vit(jax.random.PRNGKey(0),
+                                                cfg)), dev)
     ms = slope_ms(lambda p, xx, e: tinyvit.tiny_vit_apply(
         p, xx * (1 + e).astype(xx.dtype), cfg), (p, x))
-    print(f"tinyvit (MobileSAM) encode @1024: {ms:7.2f} ms", flush=True)
+    print(f"tinyvit (MobileSAM) encode @1024{tag}: {ms:7.2f} ms", flush=True)
 
     for variant in ("vit_b", "vit_l", "vit_h"):
         vcfg = dataclasses.replace(vit_sam.VIT_PRESETS[variant](1024),
                                    use_flash_attention=True)
-        p = jax.device_put(_bf16(vit_sam.init_sam_vit(
+        p = jax.device_put(_q(vit_sam.init_sam_vit(
             jax.random.PRNGKey(0), vcfg)), dev)
         ms = slope_ms(lambda p, xx, e, c=vcfg: vit_sam.sam_vit_apply(
             p, xx * (1 + e).astype(xx.dtype), c), (p, x))
-        print(f"{variant} encode @1024: {ms:7.2f} ms", flush=True)
+        print(f"{variant} encode @1024{tag}: {ms:7.2f} ms", flush=True)
 
     bcfg = birefnet.BiRefNetConfig()
     p = jax.device_put(_bf16(birefnet.init_birefnet(jax.random.PRNGKey(0),
@@ -364,14 +374,17 @@ def cmd_birefnet_stages(dev):
              "+level4 (ipt5/dec4/gdt/lat4)", "+level3", "+level2",
              "+level1+head"]
 
-    def stage_flops(cfg, params, x, k):
+    def stage_cost(cfg, params, x, k):
+        """(GFLOP, MB accessed) of the cumulative prefix from XLA's
+        compiled cost analysis — prices the graph actually executed."""
         f = prefix(cfg, k)
         try:
             ca = jax.jit(f).lower(params, x).compile().cost_analysis()
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            return float(ca.get("flops", 0.0)) / 1e9
+            return (float(ca.get("flops", 0.0)) / 1e9,
+                    float(ca.get("bytes accessed", 0.0)) / 1e6)
         except Exception:
-            return 0.0
+            return 0.0, 0.0
 
     for res in (1024, 2048):
         x = jax.device_put(_img(res), dev)
@@ -379,19 +392,24 @@ def cmd_birefnet_stages(dev):
         p = jax.device_put(_bf16(birefnet.init_birefnet(
             jax.random.PRNGKey(0), cfg)), dev)
         print(f"--- birefnet @{res} ---", flush=True)
-        prev_ms, prev_gf = 0.0, 0.0
+        prev_ms, prev_gf, prev_mb = 0.0, 0.0, 0.0
         for k in range(1, 8):
             f = prefix(cfg, k)
             ms = slope_ms(lambda pp, xx, e, f=f: f(
                 pp, xx * (1 + e).astype(xx.dtype)), (p, x))
-            gf = stage_flops(cfg, p, x, k)
+            gf, mb = stage_cost(cfg, p, x, k)
             d_ms, d_gf = ms - prev_ms, gf - prev_gf
-            floor = d_gf / PEAK_TFLOPS_BF16  # GFLOP / (GFLOP/ms)
+            d_mb = mb - prev_mb
+            # The stage floor is whichever of MXU flops / HBM traffic
+            # binds for the compiled (post-fusion) graph.
+            floor = max(d_gf / PEAK_TFLOPS_BF16, d_mb / PEAK_GBPS_HBM)
             mfu = 100.0 * (d_gf / d_ms) / PEAK_TFLOPS_BF16 if d_ms > 0 else 0
+            bwu = 100.0 * (d_mb / d_ms) / PEAK_GBPS_HBM if d_ms > 0 else 0
             print(f"{names[k-1]:30s} cum {ms:8.2f} ms  delta {d_ms:7.2f} ms"
-                  f"  {d_gf:8.1f} GF  {mfu:5.1f}% MFU  floor {floor:6.2f} ms",
+                  f"  {d_gf:8.1f} GF {mfu:5.1f}% MFU"
+                  f"  {d_mb:8.0f} MB {bwu:5.1f}% BW  floor {floor:6.2f} ms",
                   flush=True)
-            prev_ms, prev_gf = ms, gf
+            prev_ms, prev_gf, prev_mb = ms, gf, mb
 
 
 def cmd_vit_prefix(dev, variant="vit_h"):
@@ -626,7 +644,7 @@ def main(argv=None) -> int:
                     help="encoder variant (mfu/vit-prefix default vit_h; "
                          "batch defaults mobile_sam)")
     ap.add_argument("--quant", default="none", choices=["none", "w8", "w8a8"],
-                    help="batch: quantise the encoder (Environment-exact "
+                    help="batch/encoders: quantise the encoder (Environment-exact "
                          "flow) before the sweep")
     args = ap.parse_args(argv)
     dev = jax.devices()[0]
@@ -640,6 +658,9 @@ def main(argv=None) -> int:
     if args.command == "batch":
         cmd_batch(dev, quant=args.quant,
                   variant=args.variant or "mobile_sam")
+        return 0
+    if args.command == "encoders":
+        cmd_encoders(dev, quant=args.quant)
         return 0
     {"encoders": cmd_encoders,
      "attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages,
