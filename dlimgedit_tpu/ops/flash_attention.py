@@ -92,8 +92,14 @@ def _gathered_tables(rh, rw, grid_h, grid_w, dtype):
     return rh_g.astype(dtype), rw_g.astype(dtype)
 
 
-def _bias_halves(q, rh_g, rw_g, grid_h, grid_w, prec, mode: str = "grid"):
+def _bias_halves(q, rh_g, rw_g, grid_h, grid_w, prec, mode: str = "grid",
+                 out_scale: float = 1.0):
     """[q.rh | q.rw] bias halves, (G, N, gh+gw).
+
+    ``out_scale`` multiplies the f32 einsum result BEFORE the single cast
+    to q.dtype (used by the folded-bias kernel, which needs bias/scale so
+    the post-matmul ``* scale`` restores it — no extra rounding vs the
+    unscaled form).
 
     mode="grid": two batched matmuls over the grid row / column directly
     from the compact (gh, gh, hd) tables. mode="expand": round-2 form —
@@ -109,18 +115,23 @@ def _bias_halves(q, rh_g, rw_g, grid_h, grid_w, prec, mode: str = "grid"):
         rh_e = jnp.repeat(rh_g, grid_w, axis=0)            # (N, gh, hd)
         rw_e = jnp.tile(rw_g, (grid_h, 1, 1))              # (N, gw, hd)
         rhw_e = jnp.concatenate([rh_e, rw_e], axis=1)      # (N, gh+gw, hd)
-        return jnp.einsum("gid,iyd->giy", q, rhw_e.astype(q.dtype),
-                          preferred_element_type=jnp.float32,
-                          precision=prec).astype(q.dtype)
+        b = jnp.einsum("gid,iyd->giy", q, rhw_e.astype(q.dtype),
+                       preferred_element_type=jnp.float32,
+                       precision=prec)
+        if out_scale != 1.0:
+            b = b * out_scale
+        return b.astype(q.dtype)
     q4 = q.reshape(G, grid_h, grid_w, hd)
     bh = jnp.einsum("ghwd,hyd->ghwy", q4, rh_g.astype(q.dtype),
                     preferred_element_type=jnp.float32,
-                    precision=prec).astype(q.dtype)        # (G, gh, gw, gh)
+                    precision=prec)                        # (G, gh, gw, gh)
     bw = jnp.einsum("ghwd,wyd->ghwy", q4, rw_g.astype(q.dtype),
                     preferred_element_type=jnp.float32,
-                    precision=prec).astype(q.dtype)        # (G, gh, gw, gw)
-    return jnp.concatenate([bh, bw], axis=-1).reshape(
-        G, N, grid_h + grid_w)
+                    precision=prec)                        # (G, gh, gw, gw)
+    b = jnp.concatenate([bh, bw], axis=-1).reshape(G, N, grid_h + grid_w)
+    if out_scale != 1.0:
+        b = b * out_scale
+    return b.astype(q.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_h", "grid_w", "block_q",
@@ -196,6 +207,60 @@ def _attend_one_head(qn, k, v, bh, sel, scale, prec, out_dtype):
     return o.astype(out_dtype)
 
 
+def _selector_matrix_t(grid_h: int, grid_w: int, N: int, dtype):
+    """Transposed combined selector (N, gh + gw): column r < gh is one-hot
+    on tokens with y == r, column gh + r on tokens with x == r. Built
+    directly (not via .T) so Mosaic never lowers a real transpose."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (N, grid_h + grid_w), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (N, grid_h + grid_w), 1)
+    is_h = (r < grid_h).astype(dtype)
+    m_h = (j // grid_w == r).astype(dtype)
+    m_w = (j % grid_w == r - grid_h).astype(dtype)
+    return is_h * m_h + (1.0 - is_h) * m_w
+
+
+def _attend_one_head_folded(qn, k, v, bh_s, sel_t, scale, prec, out_dtype):
+    """Exact-softmax attention with the bias expansion FOLDED into the
+    score matmul's contraction: s = ([q | bh/scale] @ [k | sel]^T) * scale.
+
+    Valid when hd + gh + gw <= 128 (every SAM window geometry: 80+28 and
+    64+28): the combined contraction rides the SAME 128-lane-padded MXU
+    pass the plain q@k^T already pays, so the separate selector matmul —
+    whose 28-lane contraction ALSO padded to a full 128-lane pass —
+    disappears entirely (one score pass instead of two per head). bh_s is
+    bias/scale (from _bias_halves(out_scale=1/scale)); the post-matmul
+    * scale restores it, keeping the q.k math bit-identical to the
+    unfolded kernel and the bias within one extra f32 multiply."""
+    qcat = jnp.concatenate([qn, bh_s.astype(qn.dtype)], axis=-1)
+    kcat = jnp.concatenate([k, sel_t], axis=-1)
+    s = jax.lax.dot_general(qcat, kcat, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+    return o.astype(out_dtype)
+
+
+def _head_loop_kernel_folded(q_ref, k_ref, v_ref, bhw_ref, o_ref, *,
+                             grid_h: int, grid_w: int, scale: float):
+    """_head_loop_kernel with the folded-bias score matmul (see
+    _attend_one_head_folded); bhw_ref carries bias/scale halves."""
+    nh = q_ref.shape[1]
+    N = k_ref.shape[2]
+    dtype = q_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    sel_t = _selector_matrix_t(grid_h, grid_w, N, dtype)
+    for h in range(nh):
+        o_ref[0, h] = _attend_one_head_folded(
+            q_ref[0, h], k_ref[0, h], v_ref[0, h], bhw_ref[0, h], sel_t,
+            scale, prec, o_ref.dtype)
+
+
 def _head_loop_kernel(q_ref, k_ref, v_ref, bhw_ref, o_ref, *, grid_h: int,
                       grid_w: int, scale: float):
     """One program = one window, ALL heads looped in-kernel.
@@ -261,14 +326,20 @@ def _attention_head_fused(q, k, v, rh_g, rw_g, *, grid_h: int, grid_w: int,
     scale = hd ** -0.5
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    bhw = _bias_halves(q, rh_g, rw_g, grid_h, grid_w, prec, mode=bias_mode)
+    # Folded-bias score matmul whenever the combined contraction fits the
+    # 128-lane tile the plain q@k^T already pads to (every SAM window
+    # geometry) — halves the per-head score-stage MXU passes.
+    folded = hd + grid_h + grid_w <= 128
+    bhw = _bias_halves(q, rh_g, rw_g, grid_h, grid_w, prec, mode=bias_mode,
+                       out_scale=(1.0 / scale if folded else 1.0))
     W = G // heads
     q4 = q.reshape(W, heads, N, hd)
     k4 = k.reshape(W, heads, N, hd)
     v4 = v.reshape(W, heads, N, hd)
     b4 = bhw.reshape(W, heads, N, grid_h + grid_w)
-    kernel = functools.partial(_head_loop_kernel, grid_h=grid_h,
-                               grid_w=grid_w, scale=scale)
+    kernel = functools.partial(
+        _head_loop_kernel_folded if folded else _head_loop_kernel,
+        grid_h=grid_h, grid_w=grid_w, scale=scale)
 
     skip = (n_w is not None and valid_rows is not None
             and 0 < valid_rows < grid_h and 0 < n_w < W)

@@ -241,3 +241,42 @@ def test_head_fused_pad_query_skip_matches_full():
     # Bottom windows: identical on valid query rows, zero on skipped rows.
     np.testing.assert_array_equal(skip[-n_wc:, :, :vN], full[-n_wc:, :, :vN])
     assert not np.any(skip[-n_wc:, :, vN:])
+
+
+def test_folded_bias_matches_unfolded_kernel():
+    """The folded-bias score matmul (bias expansion riding the q@k^T
+    contraction pad) must agree with the two-matmul kernel to f32
+    round-off, and the >128 combined-contraction gate must keep the
+    unfolded kernel (where the fold would grow the padded contraction)."""
+    from dlimgedit_tpu.ops.flash_attention import _attention_head_fused
+
+    heads, gh, gw, hd = 2, 7, 7, 16                 # 16+14 = 30 <= 128
+    N = gh * gw
+    G = 4 * heads
+    rng = np.random.default_rng(9)
+    q, k, v = (jnp.asarray(rng.standard_normal((G, N, hd)).astype(np.float32))
+               for _ in range(3))
+    rh = jnp.asarray(rng.standard_normal((gh, gh, hd)).astype(np.float32) * 0.3)
+    rw = jnp.asarray(rng.standard_normal((gw, gw, hd)).astype(np.float32) * 0.3)
+    ref = attention_reference(q, k, v, rh, rw, gh, gw)
+    out = _attention_head_fused(q, k, v, rh, rw, grid_h=gh, grid_w=gw,
+                                heads=heads, interpret=True,
+                                bias_mode="expand")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # Geometry that must NOT fold (hd + gh + gw > 128): still exact.
+    gh2 = gw2 = 8
+    hd2 = 120                                       # 120+16 > 128
+    N2 = gh2 * gw2
+    q2, k2, v2 = (jnp.asarray(
+        rng.standard_normal((G, N2, hd2)).astype(np.float32))
+        for _ in range(3))
+    rh2 = jnp.asarray(
+        rng.standard_normal((gh2, gh2, hd2)).astype(np.float32) * 0.3)
+    rw2 = jnp.asarray(
+        rng.standard_normal((gw2, gw2, hd2)).astype(np.float32) * 0.3)
+    ref2 = attention_reference(q2, k2, v2, rh2, rw2, gh2, gw2)
+    out2 = _attention_head_fused(q2, k2, v2, rh2, rw2, grid_h=gh2,
+                                 grid_w=gw2, heads=heads, interpret=True,
+                                 bias_mode="expand")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=2e-5)
