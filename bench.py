@@ -32,9 +32,58 @@ import os
 import statistics
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
+
+# --- hang watchdog -----------------------------------------------------------
+# The exception path below covers mid-run relay FAILURES; a mid-run relay
+# DEATH instead makes the next jax call block forever (CLAUDE.md: every call
+# through the dead relay hangs), and a hung bench leaves the round with no
+# artifact at all — strictly worse than a CPU record. Measurement loops and
+# phase boundaries call _beat(); if no beat lands for DLIMG_BENCH_HANG_S
+# (default 20 min — longer than the worst healthy-tunnel compile of the
+# fori-wrapped chained programs), the watchdog re-execs the bench on CPU.
+_last_beat = time.monotonic()
+
+
+def _beat():
+    global _last_beat
+    _last_beat = time.monotonic()
+
+
+def _hang_fallback():  # separated so tests can stub it
+    print("bench made no progress past the hang budget — relay presumed "
+          "dead mid-run; re-running on CPU", file=sys.stderr)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DLIMG_BENCH_REEXEC"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+def _start_watchdog():
+    """Returns a stop Event (tests MUST set it before teardown — a live
+    watchdog whose fallback fires later would execve the host process),
+    or None when already on the CPU fallback."""
+    if os.environ.get("DLIMG_BENCH_REEXEC") == "1":
+        return None  # already on CPU: nothing left to hang on
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return None  # hangs are a relay-transport failure mode only
+    budget = float(os.environ.get("DLIMG_BENCH_HANG_S", "1200"))
+    poll = min(30.0, budget / 4)
+    stop = threading.Event()
+
+    def watch():
+        while not stop.wait(poll):
+            if time.monotonic() - _last_beat > budget:
+                _hang_fallback()
+                return
+
+    threading.Thread(target=watch, daemon=True,
+                     name="bench-hang-watchdog").start()
+    return stop
 
 
 def _probe_with_timeout():
@@ -83,6 +132,7 @@ def _maybe_fallback_to_cpu():
 def median_ms(fn, iters):
     ts = []
     for _ in range(iters):
+        _beat()
         t0 = time.perf_counter()
         fn()
         ts.append((time.perf_counter() - t0) * 1e3)
@@ -96,6 +146,7 @@ def min_ms(fn, iters):
     double-counted against components that are micro- to milliseconds."""
     ts = []
     for _ in range(iters):
+        _beat()
         t0 = time.perf_counter()
         fn()
         ts.append((time.perf_counter() - t0) * 1e3)
@@ -104,6 +155,7 @@ def min_ms(fn, iters):
 
 def main():
     _maybe_fallback_to_cpu()
+    _start_watchdog()
     try:
         _run()
     except Exception as e:  # noqa: BLE001 — record SOMETHING, always
@@ -223,6 +275,7 @@ def _run():
     # Warmup every executable AND every fetch path (first D2H per program can
     # stall on remote-attached TPUs).
     for _ in range(2):
+        _beat()  # each warmup step may compile for minutes; reset the hang timer
         seg = dl.Segmentation.process(img, env, variant=args.variant)
         seg.compute_mask(dl.Point(args.size // 2, args.size // 2))
         seg.compute_masks(dl.Point(args.size // 2, args.size // 2))
@@ -279,12 +332,15 @@ def _run():
         otherwise inflate each iteration by ~3 ms."""
         f1 = jax.jit(make_fn(NCH))
         f2 = jax.jit(make_fn(2 * NCH))
+        _beat()  # chained-program compiles are the longest healthy gaps
         jax.device_get(f1(*fn_args))
+        _beat()
         jax.device_get(f2(*fn_args))
 
         def best(f):
             ts = []
             for _ in range(reps):
+                _beat()
                 t0 = time.perf_counter()
                 jax.device_get(f(*fn_args))
                 ts.append((time.perf_counter() - t0) * 1e3)
