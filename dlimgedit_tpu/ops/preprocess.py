@@ -94,16 +94,20 @@ def staging_canvas(bucket: int) -> np.ndarray:
 def note_canvas_transfer(canvas: np.ndarray, device_array) -> None:
     """Record an in-flight ``device_put`` of a pooled canvas (matched by
     buffer identity — ``device_array`` may be a put of the whole canvas or
-    of one of its row chunks; unpooled canvases are ignored)."""
+    of one of its row chunks; unpooled canvases are ignored). Completed
+    transfers are pruned from EVERY entry on the way: a retained device
+    array would otherwise pin its HBM canvas until that specific buffer
+    is next reissued (a thread that processed one 4096-bucket image and
+    then only serves 1024 traffic would hold 48 MB forever)."""
     bufs = getattr(_canvas_pool, "bufs", None)
     if not bufs:
         return
     base = canvas.base if canvas.base is not None else canvas
     for ring in bufs.values():
         for entry in ring:
+            entry[1] = [x for x in entry[1] if not _transfer_done(x)]
             if entry[0] is base:
                 entry[1].append(device_array)
-                return
 
 
 def resolve_h2d_chunks(option_value: int, platform: str) -> int:

@@ -451,7 +451,10 @@ int api_is_backend_supported(dlimg_Backend backend) {
         std::lock_guard<std::mutex> lock(m);
         static std::string cached_dir;
         static int cached_backend = -1;  // -1 unprobed, else dlimg_Backend
-        if (cached_dir != bundle) {
+        if (cached_dir != bundle || cached_backend < 0) {
+            // A FAILED parse is never cached: the app may probe while the
+            // bundle is still being exported/synced (serving.txt absent or
+            // truncated); once it completes, the next probe must see it.
             cached_dir = bundle;
             cached_backend = -1;
             std::ifstream f(std::string(bundle) + "/serving.txt");

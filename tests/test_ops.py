@@ -481,3 +481,30 @@ def test_resolve_h2d_chunks():
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         if old is not None:
             os.environ["PALLAS_AXON_POOL_IPS"] = old
+
+
+def test_note_canvas_transfer_prunes_completed_refs():
+    """Completed transfers must be dropped from EVERY pool entry when any
+    new transfer is registered — a retained device-array reference would
+    pin its HBM canvas until that specific buffer was reissued (48 MB for
+    a one-off 4096-bucket request)."""
+    from dlimgedit_tpu.ops import preprocess as pp
+
+    class _Xfer:
+        def __init__(self, ready):
+            self.ready = ready
+
+        def is_ready(self):
+            return self.ready
+
+    S_big, S_small = 96, 112  # bucket keys unused by other tests
+    big = pp.staging_canvas(S_big)
+    x_big = _Xfer(False)
+    pp.note_canvas_transfer(big, x_big)
+    small = pp.staging_canvas(S_small)
+    x_big.ready = True  # the big request's transfer completes
+    # Registering any later transfer prunes the finished one everywhere.
+    pp.note_canvas_transfer(small, _Xfer(False))
+    rings = pp._canvas_pool.bufs
+    big_entry = next(e for e in rings[S_big] if e[0] is big)
+    assert x_big not in big_entry[1]

@@ -15,7 +15,9 @@ LOG="chip_session_${SHA}_$(date +%m%d_%H%M).log"
 run() {
     echo "=== [$(date +%H:%M:%S)] $*" | tee -a "$LOG"
     timeout "$1" "${@:2}" 2>&1 | tee -a "$LOG"
-    echo "=== rc=$? ===" | tee -a "$LOG"
+    # PIPESTATUS[0]: $? alone would record tee's rc (always 0), hiding a
+    # failed or timed-out step from the scarce live-chip window's log.
+    echo "=== rc=${PIPESTATUS[0]} ===" | tee -a "$LOG"
 }
 echo "chip session at HEAD=$SHA -> $LOG" | tee -a "$LOG"
 

@@ -662,8 +662,7 @@ def main(argv=None) -> int:
     if args.command == "encoders":
         cmd_encoders(dev, quant=args.quant)
         return 0
-    {"encoders": cmd_encoders,
-     "attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages,
+    {"attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages,
      "birefnet": cmd_birefnet,
      "birefnet-stages": cmd_birefnet_stages,
      }[args.command](dev)
