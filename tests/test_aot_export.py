@@ -29,12 +29,14 @@ def test_aot_export_serving_bundle_quantized(tmp_path):
         [sys.executable, os.path.join(REPO, "tools", "aot_export.py"),
          "--out", str(tmp_path), "--program", "serving", "--backend", "cpu",
          "--variant", "mobile_sam", "--sam-image-size", "64",
-         "--buckets", "128,256", "--quantize-activations"],
+         "--buckets", "128,256", "--batch-sizes", "4",
+         "--quantize-activations"],
         capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
 
     for name in ("serve_embed_mobile_sam_128", "serve_decode_mobile_sam_128",
-                 "serve_decode3_mobile_sam_128"):
+                 "serve_decode3_mobile_sam_128",
+                 "serve_decode_batch4_mobile_sam_128"):
         assert (tmp_path / f"{name}.pjrt").stat().st_size > 100
         assert (tmp_path / f"{name}.spec.txt").exists()
 
@@ -63,6 +65,13 @@ def test_aot_export_serving_bundle_quantized(tmp_path):
     # program — the packed mask must be a plausible bit-packed canvas.
     packed = np.load(tmp_path / "serve_decode_mobile_sam_128.out0.npy")
     assert packed.dtype == np.uint8 and packed.shape == (128 * 128 // 8,)
+    # Batched multi-prompt decode (BASELINE config 3): 4 packed masks in
+    # one flat 1-D output, plus a 4-vector of ious.
+    bpacked = np.load(tmp_path / "serve_decode_batch4_mobile_sam_128.out0.npy")
+    assert bpacked.dtype == np.uint8
+    assert bpacked.shape == (4 * 128 * 128 // 8,)
+    biou = np.load(tmp_path / "serve_decode_batch4_mobile_sam_128.out1.npy")
+    assert biou.shape == (4,)
 
     # Cross-language contract: the C loader's own npy parser must read back
     # every spec row of this bundle (incl. the int8 weights) —
@@ -93,7 +102,7 @@ def test_aot_export_serving_bundle_quantized(tmp_path):
     validator = BUILD_DIR / "test_serving_programs"
     programs = [f"serve_{kind}_mobile_sam_{b}"
                 for b in (128, 256)
-                for kind in ("embed", "decode", "decode3")]
+                for kind in ("embed", "decode", "decode3", "decode_batch4")]
     # --f32-ulp=16 covers only the f32 outputs (the plugin's own XLA
     # recompiles the program; measured <=9 ulp / <=8e-7 relative iou drift
     # on the a8 config from legal fma reordering).

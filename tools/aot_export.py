@@ -91,6 +91,10 @@ def main() -> int:
     ap.add_argument("--sam-image-size", type=int, default=0,
                     help="serving: override SAM model resolution (tests "
                          "export tiny geometries)")
+    ap.add_argument("--batch-sizes", default="",
+                    help="serving: also export batched multi-prompt decode "
+                         "programs at these prompt counts (comma list, e.g. "
+                         "'4,8'; BASELINE config 3)")
     ap.add_argument("--quantize", action="store_true",
                     help="serving: int8 encoder projection weights "
                          "(Options.quantize_encoder — halves encoder HBM)")
@@ -329,6 +333,29 @@ def main() -> int:
             dec3 = _build_decode_fn(bundle, bucket, True, False)
             export_served(f"serve_decode3_{args.variant}_{bucket}", dec3,
                           (bundle.params, emb, pts, lbl, dsizes), 4)
+            # Batched multi-prompt decode (BASELINE config 3): N prompts
+            # against ONE cached embedding in a single program, 1-D packed
+            # masks per prompt. Exercise a point/region mix so the example
+            # inputs cover both prompt protocols.
+            for nb in [int(n) for n in filter(None,
+                                              args.batch_sizes.split(","))]:
+                from dlimgedit_tpu.runtime.segmentation import (
+                    _build_batch_decode_fn)
+
+                bpts = np.zeros((nb, 2, 2), np.float32)
+                blbl = np.full((nb, 2), -1.0, np.float32)
+                for i in range(nb):
+                    if i % 2 == 0:  # point prompt
+                        bpts[i, 0] = (bucket / 2 + i, bucket / 2)
+                        blbl[i] = (1.0, -1.0)
+                    else:           # region prompt (labels 2/3)
+                        bpts[i] = ((bucket / 4, bucket / 4),
+                                   (3 * bucket / 4, 3 * bucket / 4))
+                        blbl[i] = (2.0, 3.0)
+                bdec = _build_batch_decode_fn(bundle, bucket)
+                export_served(
+                    f"serve_decode_batch{nb}_{args.variant}_{bucket}",
+                    bdec, (bundle.params, emb, bpts, blbl, dsizes), 4)
         # Optional BiRefNet programs -> native segment_objects
         # (runtime/birefnet.py birefnet_segment without the Python host).
         biref_specs = []
@@ -353,6 +380,8 @@ def main() -> int:
             f.write(f"backend\t{args.backend}\n")
             f.write(f"image_size\t{bundle.cfg.image_size}\n")
             f.write(f"buckets\t{','.join(map(str, buckets))}\n")
+            if args.batch_sizes:
+                f.write(f"batch\t{args.batch_sizes}\n")
             if biref_specs:
                 f.write(f"birefnet\t{','.join(biref_specs)}\n")
             quant = [m for m, on in (
