@@ -221,3 +221,30 @@ def test_microbench_prefix_mirror_matches_full_model():
     assert birefnet_prefix(cfg, 1)(params, x).shape[-1] \
         == cfg.swin.embed_dim * 8
     assert birefnet_prefix(cfg, 4)(params, x).ndim == 4
+
+
+def test_microbench_l1_prefix_mirror_matches_full_model():
+    """The level1+head sub-stage mirror's deepest prefix must also equal
+    birefnet_apply, and its first row must equal the stage ledger's
+    prefix(6) baseline."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.tpu_microbench import birefnet_l1_prefix, birefnet_prefix
+
+    cfg = BiRefNetConfig(img_size=64)
+    params = init_birefnet(jax.random.PRNGKey(1), cfg)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    full = birefnet_apply(params, x, cfg)
+    K = len(cfg.aspp_kernel_sizes)
+    deepest = birefnet_l1_prefix(cfg, 8 + K)(params, x)
+    np.testing.assert_allclose(np.asarray(deepest), np.asarray(full),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(birefnet_l1_prefix(cfg, 1)(params, x)),
+        np.asarray(birefnet_prefix(cfg, 6)(params, x)), atol=0)
+    # Every intermediate sub-prefix must at least trace/evaluate.
+    for j in range(2, 8 + K):
+        assert birefnet_l1_prefix(cfg, j)(params, x).ndim == 4

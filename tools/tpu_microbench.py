@@ -362,22 +362,12 @@ def birefnet_prefix(cfg, k):
     return f
 
 
-def cmd_birefnet_stages(dev):
-    """BiRefNet per-stage ledger (VERDICT round-3 #4): cumulative prefix
-    timing at BOTH runtime resolutions, with per-stage deltas and the
-    XLA-estimated FLOP floor per delta (compiled cost analysis, so the
-    floor prices the graph actually executed)."""
-    from dlimgedit_tpu.models import birefnet
-
-    prefix = birefnet_prefix
-    names = ["swin full-res", "+swin half-res cat", "+cxt+squeeze",
-             "+level4 (ipt5/dec4/gdt/lat4)", "+level3", "+level2",
-             "+level1+head"]
-
-    def stage_cost(cfg, params, x, k):
-        """(GFLOP, MB accessed) of the cumulative prefix from XLA's
-        compiled cost analysis — prices the graph actually executed."""
-        f = prefix(cfg, k)
+def _stage_ledger(names, make_prefix, params, x):
+    """Cumulative-prefix ledger printer shared by the birefnet stage and
+    level-1 sub-stage commands: per-stage delta ms + FLOP/bytes floors from
+    XLA's compiled cost analysis (prices the graph actually executed)."""
+    def stage_cost(k):
+        f = make_prefix(k)
         try:
             ca = jax.jit(f).lower(params, x).compile().cost_analysis()
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
@@ -386,30 +376,127 @@ def cmd_birefnet_stages(dev):
         except Exception:
             return 0.0, 0.0
 
+    prev_ms, prev_gf, prev_mb = 0.0, 0.0, 0.0
+    for k in range(1, len(names) + 1):
+        f = make_prefix(k)
+        ms = slope_ms(lambda pp, xx, e, f=f: f(
+            pp, xx * (1 + e).astype(xx.dtype)), (params, x))
+        gf, mb = stage_cost(k)
+        d_ms, d_gf = ms - prev_ms, gf - prev_gf
+        d_mb = mb - prev_mb
+        # The stage floor is whichever of MXU flops / HBM traffic
+        # binds for the compiled (post-fusion) graph.
+        floor = max(d_gf / PEAK_TFLOPS_BF16, d_mb / PEAK_GBPS_HBM)
+        mfu = 100.0 * (d_gf / d_ms) / PEAK_TFLOPS_BF16 if d_ms > 0 else 0
+        bwu = 100.0 * (d_mb / d_ms) / PEAK_GBPS_HBM if d_ms > 0 else 0
+        print(f"{names[k-1]:30s} cum {ms:8.2f} ms  delta {d_ms:7.2f} ms"
+              f"  {d_gf:8.1f} GF {mfu:5.1f}% MFU"
+              f"  {d_mb:8.0f} MB {bwu:5.1f}% BW  floor {floor:6.2f} ms",
+              flush=True)
+        prev_ms, prev_gf, prev_mb = ms, gf, mb
+
+
+def cmd_birefnet_stages(dev):
+    """BiRefNet per-stage ledger (VERDICT round-3 #4): cumulative prefix
+    timing at BOTH runtime resolutions, with per-stage deltas and the
+    XLA-estimated FLOP floor per delta (compiled cost analysis, so the
+    floor prices the graph actually executed)."""
+    from dlimgedit_tpu.models import birefnet
+
+    names = ["swin full-res", "+swin half-res cat", "+cxt+squeeze",
+             "+level4 (ipt5/dec4/gdt/lat4)", "+level3", "+level2",
+             "+level1+head"]
+
     for res in (1024, 2048):
         x = jax.device_put(_img(res), dev)
         cfg = birefnet.BiRefNetConfig(img_size=res)
         p = jax.device_put(_bf16(birefnet.init_birefnet(
             jax.random.PRNGKey(0), cfg)), dev)
         print(f"--- birefnet @{res} ---", flush=True)
-        prev_ms, prev_gf, prev_mb = 0.0, 0.0, 0.0
-        for k in range(1, 8):
-            f = prefix(cfg, k)
-            ms = slope_ms(lambda pp, xx, e, f=f: f(
-                pp, xx * (1 + e).astype(xx.dtype)), (p, x))
-            gf, mb = stage_cost(cfg, p, x, k)
-            d_ms, d_gf = ms - prev_ms, gf - prev_gf
-            d_mb = mb - prev_mb
-            # The stage floor is whichever of MXU flops / HBM traffic
-            # binds for the compiled (post-fusion) graph.
-            floor = max(d_gf / PEAK_TFLOPS_BF16, d_mb / PEAK_GBPS_HBM)
-            mfu = 100.0 * (d_gf / d_ms) / PEAK_TFLOPS_BF16 if d_ms > 0 else 0
-            bwu = 100.0 * (d_mb / d_ms) / PEAK_GBPS_HBM if d_ms > 0 else 0
-            print(f"{names[k-1]:30s} cum {ms:8.2f} ms  delta {d_ms:7.2f} ms"
-                  f"  {d_gf:8.1f} GF {mfu:5.1f}% MFU"
-                  f"  {d_mb:8.0f} MB {bwu:5.1f}% BW  floor {floor:6.2f} ms",
-                  flush=True)
-            prev_ms, prev_gf, prev_mb = ms, gf, mb
+        _stage_ledger(names, lambda k, c=cfg: birefnet_prefix(c, k), p, x)
+
+
+def birefnet_l1_prefix(cfg, j):
+    """Cumulative sub-prefix WITHIN BiRefNet's level1+head stage (the
+    dominant ledger row: 48 of 77 ms @1024).  j indexes:
+      1  levels 2..6 baseline (== birefnet_prefix(cfg, 6); row exists so
+         every later delta is a pure level-1 sub-stage cost)
+      2  ipt_blk2 cat + dec1 conv_in
+      3  +aspp1 (1x1 deform)
+      4..3+K  +deform branch per cfg.aspp_kernel_sizes entry
+      4+K  +gap+proj (ASPP complete)
+      5+K  +conv_out (dec1 done)
+      6+K  +resize -> (S, S)
+      7+K  +ipt_blk1 + concat
+      8+K  +head conv (== birefnet_prefix(cfg, 7))
+    Early ASPP sub-prefixes return the stacked branches so every computed
+    branch stays live (no DCE)."""
+    from dlimgedit_tpu.models import birefnet
+
+    f6 = birefnet_prefix(cfg, 6)
+    K = len(cfg.aspp_kernel_sizes)
+    if j == 1:
+        return f6
+    j = j - 1
+
+    def f(params, x):
+        S = x.shape[1]
+        _p1 = f6(params, x)
+        dec = params["decoder"]
+        pat = birefnet._get_patches(x, _p1.shape[1])
+        _p1 = jnp.concatenate(
+            [_p1, birefnet._apply_simple_convs(dec["ipt_blk2"], pat)], -1)
+        p = dec["dec1"]
+        y = birefnet.relu(birefnet._conv(p["conv_in"], _p1, padding=1))
+        if j == 1:
+            return y
+        ap = p["aspp"]
+        branches = [birefnet._apply_deform(ap["aspp1"], y, 1,
+                                           cfg.deform_int8_gather)]
+        if j == 2:
+            return branches[0]
+        for i, (bp, s) in enumerate(zip(ap["deforms"], cfg.aspp_kernel_sizes)):
+            branches.append(
+                birefnet._apply_deform(bp, y, s, cfg.deform_int8_gather))
+            if j == 3 + i:
+                return jnp.concatenate(branches, axis=-1)
+        gap = jnp.mean(y.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        gap = birefnet.relu(birefnet._conv(ap["gap"], gap.astype(y.dtype)))
+        branches.append(jnp.broadcast_to(gap, y.shape[:3] + (gap.shape[-1],)))
+        y = birefnet.relu(
+            birefnet._conv(ap["proj"], jnp.concatenate(branches, axis=-1)))
+        if j == 3 + K:
+            return y
+        _p1 = birefnet._conv(p["conv_out"], y, padding=1)
+        if j == 4 + K:
+            return _p1
+        _p1 = birefnet.resize_align_corners(_p1, (S, S))
+        if j == 5 + K:
+            return _p1
+        _p1 = jnp.concatenate(
+            [_p1, birefnet._apply_simple_convs(dec["ipt_blk1"], x)], -1)
+        if j == 6 + K:
+            return _p1
+        return birefnet._conv(dec["head"], _p1)
+    return f
+
+
+def cmd_birefnet_l1(dev, res=1024):
+    """Sub-stage decomposition of the dominant birefnet-stages row
+    (level1+head) at one resolution."""
+    from dlimgedit_tpu.models import birefnet
+
+    cfg = birefnet.BiRefNetConfig(img_size=res)
+    names = (["(levels 2..6 baseline)",
+              "ipt2 cat + dec1 conv_in", "+aspp1 (1x1 deform)"]
+             + [f"+deform k{s}" for s in cfg.aspp_kernel_sizes]
+             + ["+gap+proj (ASPP done)", "+conv_out (dec1 done)",
+                "+resize ->S", "+ipt_blk1 + cat", "+head conv"])
+    x = jax.device_put(_img(res), dev)
+    p = jax.device_put(_bf16(birefnet.init_birefnet(
+        jax.random.PRNGKey(0), cfg)), dev)
+    print(f"--- birefnet level1+head sub-stages @{res} ---", flush=True)
+    _stage_ledger(names, lambda k, c=cfg: birefnet_l1_prefix(c, k), p, x)
 
 
 def cmd_vit_prefix(dev, variant="vit_h"):
@@ -639,7 +726,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("command", choices=["encoders", "batch", "attention",
                                         "tinyvit-stages", "mfu", "birefnet",
-                                        "birefnet-stages", "vit-prefix"])
+                                        "birefnet-stages", "birefnet-l1",
+                                        "vit-prefix"])
+    ap.add_argument("--res", type=int, default=1024,
+                    help="birefnet-l1: canvas resolution (1024 or 2048)")
     ap.add_argument("--variant", default=None,
                     help="encoder variant (mfu/vit-prefix default vit_h; "
                          "batch defaults mobile_sam)")
@@ -661,6 +751,9 @@ def main(argv=None) -> int:
         return 0
     if args.command == "encoders":
         cmd_encoders(dev, quant=args.quant)
+        return 0
+    if args.command == "birefnet-l1":
+        cmd_birefnet_l1(dev, res=args.res)
         return 0
     {"attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages,
      "birefnet": cmd_birefnet,
