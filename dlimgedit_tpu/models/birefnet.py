@@ -244,17 +244,34 @@ def _apply_deform(p: Params, x: jnp.ndarray, ks: int,
 def _apply_aspp(p: Params, x: jnp.ndarray, cfg: BiRefNetConfig
                 ) -> jnp.ndarray:
     """ASPPDeformable (upstream models/modules/aspp.py): 1x1 deform + K
-    deform branches + global-average branch -> concat -> 1x1 (+BN) -> relu."""
+    deform branches + global-average branch -> concat -> 1x1 (+BN) -> relu.
+
+    The 1x1 proj is applied as per-branch weight slices summed
+    (proj(cat(b_i)) == sum_i proj_i(b_i) + bias — exact linear split), so
+    the n_branch*channelster concat (1280 ch at the block's full spatial
+    extent; 168 MB @256²) is never materialised and each branch's slice
+    fuses into its producer.  The broadcast GAP branch reduces to a single
+    1x1-pixel matmul broadcast-added at the end.  Measured (ledger row
+    "+gap+proj" @1024 dec1): 4.47 ms -> see BENCH_NOTES round 4."""
     branches: List[jnp.ndarray] = [
         _apply_deform(p["aspp1"], x, 1, cfg.deform_int8_gather)]
     for bp, s in zip(p["deforms"], cfg.aspp_kernel_sizes):
         branches.append(_apply_deform(bp, x, s, cfg.deform_int8_gather))
     gap = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
     gap = relu(_conv(p["gap"], gap.astype(x.dtype)))
-    # align_corners=True resize of a 1x1 map == broadcast.
-    branches.append(jnp.broadcast_to(gap, x.shape[:3] + (gap.shape[-1],)))
-    y = _conv(p["proj"], jnp.concatenate(branches, axis=-1))
-    return relu(y)  # dropout: eval-mode identity
+    w = p["proj"]["w"]                      # (1, 1, n_branch*cs, cout)
+    cs = gap.shape[-1]
+    # Cross-branch accumulation in f32 (the fused form accumulated the whole
+    # 1280-wide contraction in f32; per-branch splits round each partial to
+    # the activation dtype once — keep the running sum in f32).
+    y = conv2d(branches[0], w[:, :, :cs, :]).astype(jnp.float32)
+    for i, br in enumerate(branches[1:], start=1):
+        y = y + conv2d(br, w[:, :, i * cs:(i + 1) * cs, :]).astype(jnp.float32)
+    # align_corners=True resize of a 1x1 map == broadcast; its proj slice
+    # is a 1x1-pixel matmul broadcast over the block.
+    y = y + conv2d(gap, w[:, :, len(branches) * cs:, :]).astype(jnp.float32)
+    y = y + p["proj"]["b"].astype(jnp.float32)
+    return relu(y).astype(x.dtype)  # dropout: eval-mode identity
 
 
 def _apply_dec_blk(p: Params, x: jnp.ndarray, cfg: BiRefNetConfig
@@ -274,6 +291,42 @@ def _gdt_gate(dec: Params, idx: int, p: jnp.ndarray) -> jnp.ndarray:
     g = relu(_conv(dec[f"gdt{idx}"], p, padding=1))
     attn = jax.nn.sigmoid(_conv(dec[f"gdt_attn{idx}"], g).astype(jnp.float32))
     return p * attn.astype(p.dtype)
+
+
+def _head_fold(dec: Params, p: jnp.ndarray, x: jnp.ndarray,
+               size_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Exact linear reassociation of the level-1 tail.
+
+    Upstream (BiRefNet models/birefnet.py Decoder.forward, final block)
+    computes  head(cat(resize(p, S), SimpleConvs_ipt1(x)))  with a 1x1 head
+    conv and an align_corners bilinear resize — both linear — and
+    SimpleConvs has NO nonlinearity between its two convs.  Splitting the
+    head weight over the concat and commuting the left half with the
+    resize:
+
+        head(cat(up(p), ipt(x))) = up(head_a(p)) + (head_b . ipt)(x) + bias
+
+    where `head_b . conv_out` collapses to ONE 3x3 inter->1 conv
+    (w_fold[k,l,i] = sum_c w_out[k,l,i,c] * head_w[c]).  This upsamples ONE
+    channel instead of ch[3]//2 (96 for swin-T cat) and never materialises
+    the (S, S, ch[3]//2 + ch[3]//8) concat: the dominant cost of the
+    level1+head ledger row (48 of 77 ms @1024, 410 of 537 ms @2048).
+    Identical math; only f32 reassociation + one fewer intermediate bf16
+    round.  Pinned == the naive upstream-order tail by
+    tests/test_birefnet.py::test_head_fold_matches_upstream_order_tail."""
+    cp = p.shape[-1]
+    head_w = dec["head"]["w"]                      # (1, 1, cp + ci, 1)
+    wa, wb = head_w[:, :, :cp, :], head_w[0, 0, cp:, 0].astype(jnp.float32)
+    a = conv2d(p, wa)                              # (B, s, s, 1)
+    a = resize_align_corners(a, size_hw)
+    blk = dec["ipt_blk1"]
+    w_fold = jnp.einsum("klic,c->kli", blk["conv_out"]["w"].astype(jnp.float32),
+                        wb)[..., None]
+    b_fold = jnp.dot(blk["conv_out"]["b"].astype(jnp.float32), wb)
+    t = _conv(blk["conv1"], x, padding=1)
+    b = conv2d(t, w_fold.astype(t.dtype), padding=1)
+    bias = (b_fold + dec["head"]["b"].astype(jnp.float32)).astype(a.dtype)
+    return a + b.astype(a.dtype) + bias
 
 
 def _get_patches(x: jnp.ndarray, tile: int) -> jnp.ndarray:
@@ -331,11 +384,10 @@ def birefnet_apply(params: Params, x: jnp.ndarray,
     _p2u = resize_align_corners(p2, x1.shape[1:3])
     _p1 = _p2u + _conv(dec["lat2"], x1)
 
-    # Level 1 (1/4 -> 1/1)
+    # Level 1 (1/4 -> 1/1): head folded through the resize/concat (exact —
+    # see _head_fold).
     pat = _get_patches(x, x1.shape[1])
     _p1 = jnp.concatenate([_p1, _apply_simple_convs(dec["ipt_blk2"], pat)], -1)
     _p1 = _apply_dec_blk(dec["dec1"], _p1, cfg)
-    _p1 = resize_align_corners(_p1, (S, S))
-    _p1 = jnp.concatenate([_p1, _apply_simple_convs(dec["ipt_blk1"], x)], -1)
-    logits = _conv(dec["head"], _p1)
+    logits = _head_fold(dec, _p1, x, (S, S))
     return logits.astype(jnp.float32)

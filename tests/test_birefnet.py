@@ -198,6 +198,36 @@ def test_prepare_image_normalisation_reference_values():
     assert IMAGENET_STD == (0.229, 0.224, 0.225)
 
 
+def test_head_fold_matches_upstream_order_tail():
+    """_head_fold is an exact linear reassociation: it must reproduce the
+    naive upstream operation order head(cat(resize(p), SimpleConvs(x)))
+    to f32 rounding (the upstream order is the parity contract with the
+    reference graph; the fold only reassociates linear ops)."""
+    from dlimgedit_tpu.models.birefnet import (
+        _apply_simple_convs,
+        _conv,
+        _head_fold,
+        resize_align_corners,
+    )
+
+    cfg = BiRefNetConfig(img_size=64)
+    params = init_birefnet(jax.random.PRNGKey(3), cfg)
+    dec = params["decoder"]
+    rng = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(rng)
+    s = 16
+    cp = cfg.channels[3] // 2
+    p = 0.5 * jax.random.normal(k1, (1, s, s, cp))
+    x = 0.5 * jax.random.normal(k2, (1, 64, 64, 3))
+
+    naive = _conv(dec["head"], jnp.concatenate(
+        [resize_align_corners(p, (64, 64)),
+         _apply_simple_convs(dec["ipt_blk1"], x)], -1))
+    folded = _head_fold(dec, p, x, (64, 64))
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(naive),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_microbench_prefix_mirror_matches_full_model():
     """tools/tpu_microbench.birefnet_prefix(cfg, 7) must reproduce
     birefnet_apply exactly — the per-stage ledger is only meaningful if
@@ -239,12 +269,12 @@ def test_microbench_l1_prefix_mirror_matches_full_model():
     x = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
     full = birefnet_apply(params, x, cfg)
     K = len(cfg.aspp_kernel_sizes)
-    deepest = birefnet_l1_prefix(cfg, 8 + K)(params, x)
+    deepest = birefnet_l1_prefix(cfg, 7 + K)(params, x)
     np.testing.assert_allclose(np.asarray(deepest), np.asarray(full),
                                atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(birefnet_l1_prefix(cfg, 1)(params, x)),
         np.asarray(birefnet_prefix(cfg, 6)(params, x)), atol=0)
     # Every intermediate sub-prefix must at least trace/evaluate.
-    for j in range(2, 8 + K):
+    for j in range(2, 7 + K):
         assert birefnet_l1_prefix(cfg, j)(params, x).ndim == 4

@@ -355,10 +355,7 @@ def birefnet_prefix(cfg, k):
         _p1 = jnp.concatenate(
             [_p1, birefnet._apply_simple_convs(dec["ipt_blk2"], pat)], -1)
         _p1 = birefnet._apply_dec_blk(dec["dec1"], _p1, cfg)
-        _p1 = birefnet.resize_align_corners(_p1, (S, S))
-        _p1 = jnp.concatenate(
-            [_p1, birefnet._apply_simple_convs(dec["ipt_blk1"], x)], -1)
-        return birefnet._conv(dec["head"], _p1)
+        return birefnet._head_fold(dec, _p1, x, (S, S))
     return f
 
 
@@ -426,9 +423,8 @@ def birefnet_l1_prefix(cfg, j):
       4..3+K  +deform branch per cfg.aspp_kernel_sizes entry
       4+K  +gap+proj (ASPP complete)
       5+K  +conv_out (dec1 done)
-      6+K  +resize -> (S, S)
-      7+K  +ipt_blk1 + concat
-      8+K  +head conv (== birefnet_prefix(cfg, 7))
+      6+K  +head_a 1x1 + resize -> (S, S) (1 channel, folded head)
+      7+K  +ipt_blk1-folded conv + add (== birefnet_prefix(cfg, 7))
     Early ASPP sub-prefixes return the stacked branches so every computed
     branch stays live (no DCE)."""
     from dlimgedit_tpu.models import birefnet
@@ -470,14 +466,11 @@ def birefnet_l1_prefix(cfg, j):
         _p1 = birefnet._conv(p["conv_out"], y, padding=1)
         if j == 4 + K:
             return _p1
-        _p1 = birefnet.resize_align_corners(_p1, (S, S))
         if j == 5 + K:
-            return _p1
-        _p1 = jnp.concatenate(
-            [_p1, birefnet._apply_simple_convs(dec["ipt_blk1"], x)], -1)
-        if j == 6 + K:
-            return _p1
-        return birefnet._conv(dec["head"], _p1)
+            cp = _p1.shape[-1]
+            a = birefnet.conv2d(_p1, dec["head"]["w"][:, :, :cp, :])
+            return birefnet.resize_align_corners(a, (S, S))
+        return birefnet._head_fold(dec, _p1, x, (S, S))
     return f
 
 
@@ -491,7 +484,7 @@ def cmd_birefnet_l1(dev, res=1024):
               "ipt2 cat + dec1 conv_in", "+aspp1 (1x1 deform)"]
              + [f"+deform k{s}" for s in cfg.aspp_kernel_sizes]
              + ["+gap+proj (ASPP done)", "+conv_out (dec1 done)",
-                "+resize ->S", "+ipt_blk1 + cat", "+head conv"])
+                "+head_a + resize ->S (1ch)", "+ipt1-folded + add (full)"])
     x = jax.device_put(_img(res), dev)
     p = jax.device_put(_bf16(birefnet.init_birefnet(
         jax.random.PRNGKey(0), cfg)), dev)
