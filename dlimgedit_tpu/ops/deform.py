@@ -82,6 +82,17 @@ def _corner_stack(x: jnp.ndarray, int8: bool = False):
         scale = jnp.maximum(absmax, 1e-12) / 127.0
         stack = jnp.clip(jnp.round(stack.astype(jnp.float32) / scale),
                          -127, 127).astype(jnp.int8)
+    if 2 * C == 128:
+        # Sublane-slab layout: the same 4C corner row stored as (2, 128)
+        # ((y0 | y1) corners on sublanes, (x0 ‖ x1) channel pairs on one
+        # full 128-lane tile row) so ONE arbitrary-position fetch touches
+        # ONE (16, 128) tile instead of the two lane-tiles a flat 256-wide
+        # row straddles. Identical values, exact; measured -10% on
+        # high_res @2048 where the 136-MB table is out of the gather
+        # engine's tile-reuse regime and fetched bytes bind (@1024 the
+        # fetches are latency-bound and the layout is neutral) — see
+        # BENCH_NOTES round 4 / tools/probe_vmem_gather.py.
+        stack = stack.reshape(B, (Hp - 1) * (Wp - 1), 2, 128)
     return stack, (H, W, Wp - 1), scale
 
 
@@ -101,7 +112,11 @@ def _bilinear_sample_stacked(stack_info, py: jnp.ndarray, px: jnp.ndarray,
     yc = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
     xc = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
     idx = (yc * Ws + xc).reshape(B, oh * ow, 1)
-    v4 = jnp.take_along_axis(stack, idx, axis=1).reshape(B, oh, ow, 4, C)
+    if stack.ndim == 4:   # sublane-slab layout (see _corner_stack)
+        v4 = jnp.take_along_axis(stack, idx[..., None], axis=1)
+    else:
+        v4 = jnp.take_along_axis(stack, idx, axis=1)
+    v4 = v4.reshape(B, oh, ow, 4, C)
     if scale is not None:  # int8 stack: dequantise after the gather
         v4 = v4.astype(jnp.float32) * scale
     w00 = (1 - wy) * (1 - wx)

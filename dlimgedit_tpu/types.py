@@ -207,9 +207,13 @@ class Options:
     # Implies quantize_encoder (int8 weights).
     quantize_activations: bool = False
     # BiRefNet: gather deformable-sampling taps from an int8-quantised
-    # corner stack — roughly halves ASPPDeformable time (the taps sit at the
-    # measured TPU gather-bandwidth floor) for a bounded mask approximation
-    # (parity test caps the deviation). Off: exact torchvision numerics.
+    # corner stack, a bounded mask approximation (parity test caps the
+    # deviation). Only worth it for high_res (@2048) inputs, where the
+    # corner table falls out of the gather engine's tile-reuse regime and
+    # bytes bind (-10% measured); at @1024 the gathers are LATENCY-bound
+    # and the quantise/dequantise overhead makes this a net LOSS (78.5 vs
+    # 72.2 ms on chip — BENCH_NOTES round 4). Off: exact torchvision
+    # numerics.
     birefnet_int8_deform: bool = False
     # Preprocess resize: "device" (fused antialiased bilinear on TPU — the
     # fast path, matches SAM upstream semantics) or "host" (stb-semantics

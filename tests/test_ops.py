@@ -414,6 +414,23 @@ def test_stacked_bilinear_matches_reference_form():
                                               jnp.float32))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
+    # C=64 (every BiRefNet dec block) selects the sublane-slab (N, 2, 128)
+    # table layout — identical values through the reshaped gather.
+    C64 = 64
+    x64 = jnp.asarray(rng.standard_normal((B, H, W, C64)).astype(np.float32))
+    stack64 = _corner_stack(x64)
+    assert stack64[0].ndim == 4 and stack64[0].shape[-2:] == (2, 128)
+    got64 = np.asarray(_bilinear_sample_stacked(stack64, py, px, C64,
+                                                jnp.float32))
+    want64 = np.asarray(_bilinear_sample(x64, py, px))
+    np.testing.assert_allclose(got64, want64, atol=1e-5, rtol=1e-5)
+    # int8 slab path: same layout rule, bounded quantisation deviation.
+    stack8 = _corner_stack(x64, int8=True)
+    assert stack8[0].ndim == 4 and stack8[0].dtype == jnp.int8
+    got8 = np.asarray(_bilinear_sample_stacked(stack8, py, px, C64,
+                                               jnp.float32))
+    assert np.max(np.abs(got8 - want64)) < 4.0 * np.max(np.abs(want64)) / 127
+
 
 def test_pack_and_put_canvas_chunked_matches_single():
     """Chunked pack+put pipeline (VERDICT r3 #6): the device-joined row
