@@ -15,8 +15,21 @@ group — the only configuration BiRefNet uses.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..models.common import HIGHEST
+
+# Spatial band size for the tap loop: the largest extent the XLA TPU
+# backend still fuses the gather -> lerp -> modulate -> matmul pipeline
+# for.  At 512x512 (high_res dec1) the same graph de-fuses and
+# materialises the per-tap intermediates — the @2048 ledger measured the
+# k1 branch at 97% of its *unfused* byte floor (4.2 GB accessed) while
+# the identical @1024-shape branch exceeds its estimate 1.6x (fused).
+# Banding the OUTPUT rows restores the fusing shape exactly; the corner
+# stack table stays whole (samples reach anywhere), so the math is
+# unchanged per element. Pinned by
+# tests/test_ops.py::test_deform_banding_matches_unbanded.
+_BAND_PIXELS = 65536
 
 
 def _bilinear_sample(x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
@@ -82,17 +95,6 @@ def _corner_stack(x: jnp.ndarray, int8: bool = False):
         scale = jnp.maximum(absmax, 1e-12) / 127.0
         stack = jnp.clip(jnp.round(stack.astype(jnp.float32) / scale),
                          -127, 127).astype(jnp.int8)
-    if 2 * C == 128:
-        # Sublane-slab layout: the same 4C corner row stored as (2, 128)
-        # ((y0 | y1) corners on sublanes, (x0 ‖ x1) channel pairs on one
-        # full 128-lane tile row) so ONE arbitrary-position fetch touches
-        # ONE (16, 128) tile instead of the two lane-tiles a flat 256-wide
-        # row straddles. Identical values, exact; measured -10% on
-        # high_res @2048 where the 136-MB table is out of the gather
-        # engine's tile-reuse regime and fetched bytes bind (@1024 the
-        # fetches are latency-bound and the layout is neutral) — see
-        # BENCH_NOTES round 4 / tools/probe_vmem_gather.py.
-        stack = stack.reshape(B, (Hp - 1) * (Wp - 1), 2, 128)
     return stack, (H, W, Wp - 1), scale
 
 
@@ -112,11 +114,7 @@ def _bilinear_sample_stacked(stack_info, py: jnp.ndarray, px: jnp.ndarray,
     yc = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
     xc = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
     idx = (yc * Ws + xc).reshape(B, oh * ow, 1)
-    if stack.ndim == 4:   # sublane-slab layout (see _corner_stack)
-        v4 = jnp.take_along_axis(stack, idx[..., None], axis=1)
-    else:
-        v4 = jnp.take_along_axis(stack, idx, axis=1)
-    v4 = v4.reshape(B, oh, ow, 4, C)
+    v4 = jnp.take_along_axis(stack, idx, axis=1).reshape(B, oh, ow, 4, C)
     if scale is not None:  # int8 stack: dequantise after the gather
         v4 = v4.astype(jnp.float32) * scale
     w00 = (1 - wy) * (1 - wx)
@@ -145,20 +143,50 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     """
     B, H, W, C = x.shape
     kh, kw, _, cout = w.shape
-    ys = jnp.arange(H, dtype=offset.dtype)[:, None]
-    xs = jnp.arange(W, dtype=offset.dtype)[None, :]
     stack_info = _corner_stack(x, int8=int8_gather)  # shared by every tap
-    out = jnp.zeros((B, H, W, cout), jnp.float32)
-    for ky in range(kh):
-        for kx in range(kw):
-            k = ky * kw + kx
-            py = ys + (ky - padding) + offset[..., 2 * k]
-            px = xs + (kx - padding) + offset[..., 2 * k + 1]
-            val = _bilinear_sample_stacked(stack_info, py, px, C,
-                                           jnp.float32) * mask[..., k:k + 1]
-            out = out + jnp.einsum(
-                "bhwc,co->bhwo", val, w[ky, kx].astype(val.dtype),
-                preferred_element_type=jnp.float32, precision=HIGHEST)
+    wmat = w.astype(jnp.float32)
+
+    def taps_over(offset_b, mask_b, y_base):
+        """All K taps over one output row-band starting at absolute row
+        y_base; the band shape is what XLA's fusion heuristics keep fused
+        (see _BAND_PIXELS)."""
+        hb = offset_b.shape[1]
+        ys = (y_base + jnp.arange(hb, dtype=jnp.int32)
+              ).astype(offset_b.dtype)[:, None]
+        xs = jnp.arange(W, dtype=offset_b.dtype)[None, :]
+        acc = jnp.zeros((B, hb, W, cout), jnp.float32)
+        for ky in range(kh):
+            for kx in range(kw):
+                k = ky * kw + kx
+                py = ys + (ky - padding) + offset_b[..., 2 * k]
+                px = xs + (kx - padding) + offset_b[..., 2 * k + 1]
+                val = _bilinear_sample_stacked(
+                    stack_info, py, px, C,
+                    jnp.float32) * mask_b[..., k:k + 1]
+                acc = acc + jnp.einsum(
+                    "bhwc,co->bhwo", val, wmat[ky, kx],
+                    preferred_element_type=jnp.float32, precision=HIGHEST)
+        return acc
+
+    n_bands = max(1, (H * W) // _BAND_PIXELS)
+    while H % n_bands:
+        n_bands -= 1
+    if n_bands > 1:
+        hb = H // n_bands
+        off_b = offset.reshape(B, n_bands, hb, W, offset.shape[-1]
+                               ).transpose(1, 0, 2, 3, 4)
+        msk_b = mask.reshape(B, n_bands, hb, W, mask.shape[-1]
+                             ).transpose(1, 0, 2, 3, 4)
+        bases = (jnp.arange(n_bands, dtype=jnp.int32) * hb)
+
+        def scan_body(_, xs_in):
+            ob, mb, base = xs_in
+            return None, taps_over(ob, mb, base)
+
+        _, bands = lax.scan(scan_body, None, (off_b, msk_b, bases))
+        out = bands.transpose(1, 0, 2, 3, 4).reshape(B, H, W, cout)
+    else:
+        out = taps_over(offset, mask, jnp.int32(0))
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.astype(x.dtype)

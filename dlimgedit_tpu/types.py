@@ -208,12 +208,12 @@ class Options:
     quantize_activations: bool = False
     # BiRefNet: gather deformable-sampling taps from an int8-quantised
     # corner stack, a bounded mask approximation (parity test caps the
-    # deviation). Only worth it for high_res (@2048) inputs, where the
-    # corner table falls out of the gather engine's tile-reuse regime and
-    # bytes bind (-10% measured); at @1024 the gathers are LATENCY-bound
-    # and the quantise/dequantise overhead makes this a net LOSS (78.5 vs
-    # 72.2 ms on chip — BENCH_NOTES round 4). Off: exact torchvision
-    # numerics.
+    # deviation). As of round 4 this is NOT recommended at any resolution:
+    # the row-banded tap loop (ops/deform._BAND_PIXELS) keeps the gather
+    # pipeline fused, making fetched bytes cheap, and the quantise/
+    # dequantise overhead measured a net LOSS on chip at @1024 (78.4 vs
+    # 71.9 ms) and @2048 (409.9 vs 404.7) — BENCH_NOTES round 4. Kept for
+    # API stability and as the knob to re-evaluate on future hardware.
     birefnet_int8_deform: bool = False
     # Preprocess resize: "device" (fused antialiased bilinear on TPU — the
     # fast path, matches SAM upstream semantics) or "host" (stb-semantics

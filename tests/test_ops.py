@@ -414,22 +414,45 @@ def test_stacked_bilinear_matches_reference_form():
                                               jnp.float32))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
-    # C=64 (every BiRefNet dec block) selects the sublane-slab (N, 2, 128)
-    # table layout — identical values through the reshaped gather.
+    # C=64 — the width every BiRefNet dec block actually samples at.
     C64 = 64
     x64 = jnp.asarray(rng.standard_normal((B, H, W, C64)).astype(np.float32))
-    stack64 = _corner_stack(x64)
-    assert stack64[0].ndim == 4 and stack64[0].shape[-2:] == (2, 128)
-    got64 = np.asarray(_bilinear_sample_stacked(stack64, py, px, C64,
-                                                jnp.float32))
+    got64 = np.asarray(_bilinear_sample_stacked(_corner_stack(x64), py, px,
+                                                C64, jnp.float32))
     want64 = np.asarray(_bilinear_sample(x64, py, px))
     np.testing.assert_allclose(got64, want64, atol=1e-5, rtol=1e-5)
-    # int8 slab path: same layout rule, bounded quantisation deviation.
-    stack8 = _corner_stack(x64, int8=True)
-    assert stack8[0].ndim == 4 and stack8[0].dtype == jnp.int8
-    got8 = np.asarray(_bilinear_sample_stacked(stack8, py, px, C64,
-                                               jnp.float32))
+    # int8 stack: bounded quantisation deviation.
+    got8 = np.asarray(_bilinear_sample_stacked(
+        _corner_stack(x64, int8=True), py, px, C64, jnp.float32))
     assert np.max(np.abs(got8 - want64)) < 4.0 * np.max(np.abs(want64)) / 127
+
+
+def test_deform_banding_matches_unbanded():
+    """The row-banded tap loop (high_res shapes; ops/deform._BAND_PIXELS)
+    must be bit-comparable to the single-band form — banding only re-cuts
+    the output loop, never the math."""
+    import jax.numpy as jnp
+
+    from dlimgedit_tpu.ops import deform
+
+    rng = np.random.default_rng(12)
+    B, H, W, C, cout, ks = 1, 12, 8, 5, 7, 3
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    off = jnp.asarray((rng.standard_normal((B, H, W, 2 * ks * ks)) * 1.5)
+                      .astype(np.float32))
+    msk = jnp.asarray(rng.uniform(0.2, 1.8, (B, H, W, ks * ks))
+                      .astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((ks, ks, C, cout)).astype(np.float32)
+                    * 0.1)
+    b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+    want = np.asarray(deform.deform_conv2d(x, off, msk, w, b, padding=1))
+    orig = deform._BAND_PIXELS
+    try:
+        deform._BAND_PIXELS = H * W // 4   # force 4 bands
+        got = np.asarray(deform.deform_conv2d(x, off, msk, w, b, padding=1))
+    finally:
+        deform._BAND_PIXELS = orig
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
 
 
 def test_pack_and_put_canvas_chunked_matches_single():
