@@ -14,6 +14,8 @@ group — the only configuration BiRefNet uses.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -29,7 +31,9 @@ from ..models.common import HIGHEST
 # stack table stays whole (samples reach anywhere), so the math is
 # unchanged per element. Pinned by
 # tests/test_ops.py::test_deform_banding_matches_unbanded.
-_BAND_PIXELS = 65536
+# Env override for on-chip tuning (measured @2048: 65536 -> -20%; see
+# BENCH_NOTES round 4 for the band-size sweep).
+_BAND_PIXELS = int(os.environ.get("DLIMG_DEFORM_BAND_PIXELS", "65536"))
 
 
 def _bilinear_sample(x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
