@@ -41,8 +41,11 @@ def test_native_serving_e2e_cpu(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "serving_check.py"),
          "--dir", str(tmp_path), "--size", "256", "--sam-image-size", "64",
-         "--backend", "cpu"],
-        capture_output=True, text=True, timeout=1500, env=env, cwd=REPO)
+         "--backend", "cpu", "--birefnet", "general:256"],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO)
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
     assert "PASS: native serving mask pixel-exact" in r.stdout
     assert "0/65536 pixels differ" in r.stdout
+    # segment_objects (BiRefNet) leg: the folded-head/banded-deform graph
+    # must round-trip the native exporter/loader pixel-exactly too.
+    assert "segment_objects" in r.stdout
