@@ -41,7 +41,8 @@ def test_native_serving_e2e_cpu(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "serving_check.py"),
          "--dir", str(tmp_path), "--size", "256", "--sam-image-size", "64",
-         "--backend", "cpu", "--birefnet", "general:256"],
+         "--backend", "cpu", "--birefnet", "general:256",
+         "--birefnet-resolution", "256"],
         capture_output=True, text=True, timeout=1800, env=env, cwd=REPO)
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
     assert "PASS: native serving mask pixel-exact" in r.stdout

@@ -5,7 +5,8 @@ BENCH_NOTES round 4.  Same-process interleaving is the trusted
 methodology (isolated runs swing ±20-30% through the tunnel).
 
 Run (repo root, live relay, nothing else on the chip):
-    python tools/band_sweep.py [pixels ...]     # default 131072 65536 32768
+    python tools/band_sweep.py [--res N] [pixels ...]
+    # default --res 2048, pixels 131072 65536 32768
 """
 
 from __future__ import annotations
@@ -22,14 +23,19 @@ from tools.tpu_microbench import _bf16, _img, slope_ms  # noqa: E402
 
 
 def main(argv=None) -> int:
-    sizes = [int(a) for a in (argv or sys.argv[1:])] or [131072, 65536, 32768]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    res = 2048
+    if "--res" in argv:
+        i = argv.index("--res")
+        res = int(argv[i + 1])
+        del argv[i:i + 2]
+    sizes = [int(a) for a in argv] or [131072, 65536, 32768]
     dev = jax.devices()[0]
     print(f"device: {dev} (platform {dev.platform})", flush=True)
 
     from dlimgedit_tpu.models import birefnet
     from dlimgedit_tpu.ops import deform
 
-    res = 2048
     x = jax.device_put(_img(res), dev)
     cfg = birefnet.BiRefNetConfig(img_size=res)
     p = jax.device_put(_bf16(birefnet.init_birefnet(

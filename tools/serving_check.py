@@ -34,6 +34,15 @@ def main() -> int:
     ap.add_argument("--birefnet", default="",
                     help="also export + check segment_objects (e.g. "
                          "general:1024)")
+    ap.add_argument("--birefnet-resolution", type=int, default=0,
+                    help="override the BiRefNet model resolution "
+                         "(DLIMG_BIREFNET_RESOLUTION) for export, golden "
+                         "AND native. Hermetic runs set it to the bucket so "
+                         "the mask needs no host resize: the box filter's "
+                         ".5-ties flip ~1/16 of pixels by one grey level at "
+                         "a 16:1 ratio (1024-res model on a 256 image), "
+                         "which is benign but breaks the strict 0-diff "
+                         "contract this check enforces")
     ap.add_argument("--quantize", action="store_true",
                     help="check the int8-weight serving bundle (use a "
                          "separate --dir per quant mode)")
@@ -53,6 +62,10 @@ def main() -> int:
     if args.backend == "cpu":
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         os.environ["JAX_PLATFORMS"] = "cpu"
+    if args.birefnet_resolution:
+        # Inherited by the aot_export, golden, and native subprocesses.
+        os.environ["DLIMG_BIREFNET_RESOLUTION"] = str(
+            args.birefnet_resolution)
     os.makedirs(args.dir, exist_ok=True)
 
     # Two buckets: the main image exercises args.size, the secondary
