@@ -7,14 +7,22 @@ through the real public runtime path and prints the HBM delta after
 every phase, so the judge-facing table has an apples-to-apples memory
 number for the TPU rebuild.
 
-Methodology: `device.memory_stats()["bytes_in_use"]` deltas (PJRT
-allocator truth — includes weights, executables' preallocated buffers,
-the on-device embedding cache and canvas pool), cross-checked against
-the analytic pytree size of each weight bundle. Plugins that do not
-implement memory_stats (older PJRT C-APIs) still get the analytic rows.
+Methodology, three independent sources (the axon plugin implements
+none of PJRT's memory_stats, so the tool cannot rely on allocator
+introspection):
+  * `device.memory_stats()["bytes_in_use"]` deltas where the plugin
+    supports them (PJRT allocator truth);
+  * `jax.live_arrays()` deltas — the bytes of every persistent device
+    array this process holds (weights, the on-device embedding cache,
+    the canvas pool, cached sizes vectors); works on EVERY plugin;
+  * per-program `compiled.memory_analysis()` — XLA's own accounting of
+    each serving executable's argument/output/temp/code HBM, i.e. the
+    transient high-water mark while a program runs.
+Peak footprint ≈ live arrays + max over programs of (temp + output).
 
 Run (repo root, live relay, nothing else on the chip):
     python tools/memory_footprint.py [--variant mobile_sam] [--size 1024]
+Hermetic smoke: --backend cpu --sam-image-size 128 --birefnet-resolution 128
 """
 
 from __future__ import annotations
@@ -43,6 +51,16 @@ def _pytree_bytes(tree) -> int:
     return sum(int(np.prod(x.shape)) * x.dtype.itemsize
                for x in jax.tree_util.tree_leaves(tree)
                if hasattr(x, "shape"))
+
+
+def _live_bytes() -> int:
+    """Bytes of every live device array in this process (all plugins)."""
+    import jax
+    try:
+        return sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                   for x in jax.live_arrays())
+    except Exception:
+        return -1
 
 
 def _mb(n: int) -> str:
@@ -96,12 +114,16 @@ def main() -> int:
     def phase(name, fn):
         """fn returns the analytic byte count for the phase (or -1)."""
         before = _bytes_in_use(dev)
+        live_before = _live_bytes()
         analytic = fn()
         after = _bytes_in_use(dev)
+        live_after = _live_bytes()
         delta = after - before if have_stats else -1
+        live_delta = (live_after - live_before
+                      if live_after >= 0 and live_before >= 0 else -1)
         last_in_use[0] = after
-        print(f"{name:34s} delta {_mb(delta)}   analytic {_mb(analytic)}"
-              f"   in_use {_mb(after)}", flush=True)
+        print(f"{name:34s} live {_mb(live_delta)}   "
+              f"analytic {_mb(analytic)}   alloc {_mb(delta)}", flush=True)
 
     seg_box = {}
 
@@ -132,9 +154,66 @@ def main() -> int:
         return -1
     phase("segment_objects()", run_birefnet)
 
+    live_total = _live_bytes()
+
+    # -- per-program XLA memory analysis ---------------------------------
+    # The executables Environment caches are jitted callables; re-lower
+    # the same builders with the session's real shapes and ask XLA for its
+    # own buffer accounting (works on every plugin — the analysis happens
+    # at compile time, and the persistent compilation cache makes these
+    # re-compiles free after the phases above).
+    import jax
+
+    from dlimgedit_tpu.runtime.birefnet import _build_birefnet_fn
+    from dlimgedit_tpu.runtime.segmentation import (_build_decode_fn,
+                                                    _build_embed_fn)
+
+    bundle = env.sam_model(args.variant)
+    bb = env.birefnet_model("general")
+    bucket = args.size
+    sds = jax.ShapeDtypeStruct
+    canvas = sds((bucket, bucket, 3), np.uint8)
+    sizes = sds((4,), np.int32)
+    embed = _build_embed_fn(bundle)
+    emb = jax.eval_shape(embed, bundle.params, (canvas,), sizes)
+    pts = sds((1, 2, 2), np.float32)
+    lbl = sds((1, 2), np.float32)
+    progs = [
+        ("embed (process)", embed, (bundle.params, (canvas,), sizes)),
+        ("decode (compute_mask)",
+         _build_decode_fn(bundle, bucket, False, False),
+         (bundle.params, emb, pts, lbl, sizes)),
+        ("decode3 (compute_masks)",
+         _build_decode_fn(bundle, bucket, True, False),
+         (bundle.params, emb, pts, lbl, sizes)),
+        ("birefnet (segment_objects)",
+         _build_birefnet_fn(bb, bucket), (bb.params, (canvas,), sizes)),
+    ]
+    print("\nXLA per-program memory analysis (transient while executing):")
+    peak_transient = -1
+    for name, jitted, pargs in progs:
+        try:
+            ma = jitted.lower(*pargs).compile().memory_analysis()
+            tmp = int(ma.temp_size_in_bytes)
+            out = int(ma.output_size_in_bytes)
+            arg = int(ma.argument_size_in_bytes)
+            code = int(ma.generated_code_size_in_bytes)
+        except Exception as e:
+            print(f"{name:34s} (memory_analysis unavailable: {e})")
+            continue
+        peak_transient = max(peak_transient, tmp + out)
+        print(f"{name:34s} temp {_mb(tmp)}   out {_mb(out)}"
+              f"   args {_mb(arg)}   code {_mb(code)}", flush=True)
+
     total = last_in_use[0]
-    print(f"\nTOTAL in use after full pipeline: {_mb(total).strip()}"
-          f"   (reference GPU row: ~500 MB, README.md:35)")
+    print(f"\nresident (live arrays after full pipeline): "
+          f"{_mb(live_total).strip()}")
+    if peak_transient >= 0:
+        print(f"peak estimate (resident + largest program temp+out): "
+              f"{_mb(live_total + peak_transient).strip()}"
+              f"   (reference GPU row: ~500 MB, README.md:35)")
+    if have_stats:
+        print(f"allocator bytes_in_use: {_mb(total).strip()}")
     return 0
 
 
