@@ -321,11 +321,16 @@ def _head_fold(dec: Params, p: jnp.ndarray, x: jnp.ndarray,
     a = resize_align_corners(a, size_hw)
     blk = dec["ipt_blk1"]
     w_fold = jnp.einsum("klic,c->kli", blk["conv_out"]["w"].astype(jnp.float32),
-                        wb)[..., None]
-    b_fold = jnp.dot(blk["conv_out"]["b"].astype(jnp.float32), wb)
+                        wb, precision=HIGHEST)[..., None]
+    cb = blk["conv_out"].get("b")
+    b_fold = (jnp.dot(cb.astype(jnp.float32), wb, precision=HIGHEST)
+              if cb is not None else jnp.zeros((), jnp.float32))
     t = _conv(blk["conv1"], x, padding=1)
     b = conv2d(t, w_fold.astype(t.dtype), padding=1)
-    bias = (b_fold + dec["head"]["b"].astype(jnp.float32)).astype(a.dtype)
+    hb = dec["head"].get("b")
+    head_b = (hb.astype(jnp.float32) if hb is not None
+              else jnp.zeros((), jnp.float32))
+    bias = (b_fold + head_b).astype(a.dtype)
     return a + b.astype(a.dtype) + bias
 
 

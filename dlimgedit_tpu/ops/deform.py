@@ -31,9 +31,11 @@ from ..models.common import HIGHEST
 # stack table stays whole (samples reach anywhere), so the math is
 # unchanged per element. Pinned by
 # tests/test_ops.py::test_deform_banding_matches_unbanded.
-# Env override for on-chip tuning (measured @2048: 65536 -> -20%; see
-# BENCH_NOTES round 4 for the band-size sweep).
-_BAND_PIXELS = int(os.environ.get("DLIMG_DEFORM_BAND_PIXELS", "65536"))
+# Env override for on-chip tuning.  Default from the round-4 on-chip
+# band-size sweep (BENCH_NOTES): 16384 is the minimum at BOTH
+# resolutions — full BiRefNet 64.4 ms @1024 (65536: 71.9) and 384.7 ms
+# @2048 (65536: 404.7); 8192 starts paying per-band overhead again.
+_BAND_PIXELS = int(os.environ.get("DLIMG_DEFORM_BAND_PIXELS", "16384"))
 
 
 def _bilinear_sample(x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
