@@ -228,6 +228,39 @@ def test_head_fold_matches_upstream_order_tail():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_head_fold_biasless_params():
+    """Converted checkpoints may fold or omit conv biases entirely; the
+    head fold must stay an exact reassociation of the naive tail when
+    conv_out/head carry no "b" entry (they fall back to zero bias, the
+    same contract _conv implements)."""
+    from dlimgedit_tpu.models.birefnet import (
+        _apply_simple_convs,
+        _conv,
+        _head_fold,
+        resize_align_corners,
+    )
+
+    cfg = BiRefNetConfig(img_size=64)
+    params = init_birefnet(jax.random.PRNGKey(5), cfg)
+    dec = params["decoder"]
+    dec["ipt_blk1"]["conv_out"] = {
+        k: v for k, v in dec["ipt_blk1"]["conv_out"].items() if k != "b"}
+    dec["head"] = {k: v for k, v in dec["head"].items() if k != "b"}
+    rng = jax.random.PRNGKey(6)
+    k1, k2 = jax.random.split(rng)
+    s = 16
+    cp = cfg.channels[3] // 2
+    p = 0.5 * jax.random.normal(k1, (1, s, s, cp))
+    x = 0.5 * jax.random.normal(k2, (1, 64, 64, 3))
+
+    naive = _conv(dec["head"], jnp.concatenate(
+        [resize_align_corners(p, (64, 64)),
+         _apply_simple_convs(dec["ipt_blk1"], x)], -1))
+    folded = _head_fold(dec, p, x, (64, 64))
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(naive),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_microbench_prefix_mirror_matches_full_model():
     """tools/tpu_microbench.birefnet_prefix(cfg, 7) must reproduce
     birefnet_apply exactly — the per-stage ledger is only meaningful if
