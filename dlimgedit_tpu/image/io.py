@@ -37,12 +37,17 @@ def load_image(filepath: str) -> Image:
                 # HIGH byte. PIL's .convert() would CLIP at 255 instead —
                 # a full-range 16-bit scan came out 99.6% pure white.
                 wide = np.asarray(im)
-                # Pick the shift from the DATA range, not the container
-                # width: older Pillow (<10.1) opens 16-bit gray PNGs as
-                # mode 'I' (32-bit container) with 0..65535 values — keying
-                # on itemsize alone would shift those by 24 and black the
-                # image out.
-                if wide.dtype.itemsize == 2 or wide.max(initial=0) < 65536:
+                # Pick the shift from the SOURCE format, not the container
+                # width or the frame's data range: older Pillow (<10.1)
+                # opens 16-bit gray PNGs as mode 'I' (32-bit container)
+                # with 0..65535 values — keying on itemsize alone would
+                # shift those by 24 and black the image out, and keying on
+                # the data range would scale a dark frame of a genuine
+                # 32-bit sequence differently from a bright one. PNG caps
+                # at 16 bits/channel, so mode 'I' from a PNG is always
+                # 16-bit data; only true 32-bit containers from other
+                # formats (e.g. int32 TIFF) take the high byte of 32.
+                if wide.dtype.itemsize == 2 or im.format == "PNG":
                     shift = 8
                 else:
                     shift = 24

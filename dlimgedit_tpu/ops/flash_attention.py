@@ -177,12 +177,18 @@ def _attention_grouped(q, k, v, rh_g, rw_g, *, grid_h: int, grid_w: int,
     )(q, k, v, bhw)
 
 
-def _selector_matrix(grid_h: int, grid_w: int, N: int, dtype):
+def _selector_matrix(grid_h: int, grid_w: int, N: int, dtype,
+                     transposed: bool = False):
     """Combined one-hot selector: row r < gh selects tokens with y == r,
     row gh + r selects tokens with x == r. Arithmetic blend instead of a
-    boolean where — Mosaic cannot lower odd-shaped i1 vector selects."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (grid_h + grid_w, N), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (grid_h + grid_w, N), 1)
+    boolean where — Mosaic cannot lower odd-shaped i1 vector selects.
+    transposed=True builds the (N, gh + gw) layout directly by swapping
+    the iota axes (not via .T, so Mosaic never lowers a real transpose);
+    the selector semantics live only here."""
+    shape = (N, grid_h + grid_w) if transposed else (grid_h + grid_w, N)
+    r_dim, j_dim = (1, 0) if transposed else (0, 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, r_dim)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, j_dim)
     is_h = (r < grid_h).astype(dtype)
     m_h = (j // grid_w == r).astype(dtype)
     m_w = (j % grid_w == r - grid_h).astype(dtype)
@@ -209,14 +215,8 @@ def _attend_one_head(qn, k, v, bh, sel, scale, prec, out_dtype):
 
 def _selector_matrix_t(grid_h: int, grid_w: int, N: int, dtype):
     """Transposed combined selector (N, gh + gw): column r < gh is one-hot
-    on tokens with y == r, column gh + r on tokens with x == r. Built
-    directly (not via .T) so Mosaic never lowers a real transpose."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (N, grid_h + grid_w), 0)
-    r = jax.lax.broadcasted_iota(jnp.int32, (N, grid_h + grid_w), 1)
-    is_h = (r < grid_h).astype(dtype)
-    m_h = (j // grid_w == r).astype(dtype)
-    m_w = (j % grid_w == r - grid_h).astype(dtype)
-    return is_h * m_h + (1.0 - is_h) * m_w
+    on tokens with y == r, column gh + r on tokens with x == r."""
+    return _selector_matrix(grid_h, grid_w, N, dtype, transposed=True)
 
 
 def _attend_one_head_folded(qn, k, v, bh_s, sel_t, scale, prec, out_dtype):

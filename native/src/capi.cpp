@@ -25,6 +25,8 @@
 
 #include <dlimgedit/detail/dlimgedit.h>
 
+#include <sys/stat.h>
+
 #include <algorithm>
 #include <cstdlib>
 #include <cstring>
@@ -449,13 +451,21 @@ int api_is_backend_supported(dlimg_Backend backend) {
         // so a CPU-exported or unreadable bundle never reports dlimg_gpu.
         static std::mutex m;
         std::lock_guard<std::mutex> lock(m);
-        static std::string cached_dir;
+        static std::string cached_key;
         static int cached_backend = -1;  // -1 unprobed, else dlimg_Backend
-        if (cached_dir != bundle || cached_backend < 0) {
+        // Key the cache on the file's identity, not just the dir string:
+        // a bundle re-exported IN PLACE (new serving.txt, same path) must
+        // re-probe, or a long-running app reports the old tier forever.
+        std::string key = bundle;
+        struct stat st;
+        if (::stat((std::string(bundle) + "/serving.txt").c_str(), &st) == 0)
+            key += "|" + std::to_string(st.st_mtime) + "|" +
+                   std::to_string(st.st_size);
+        if (cached_key != key || cached_backend < 0) {
             // A FAILED parse is never cached: the app may probe while the
             // bundle is still being exported/synced (serving.txt absent or
             // truncated); once it completes, the next probe must see it.
-            cached_dir = bundle;
+            cached_key = key;
             cached_backend = -1;
             std::ifstream f(std::string(bundle) + "/serving.txt");
             std::string line;

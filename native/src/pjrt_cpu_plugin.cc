@@ -118,9 +118,14 @@ absl::StatusOr<xla::PjRtClient::HostBufferSemantics> to_semantics(
       return xla::PjRtClient::HostBufferSemantics::
           kImmutableUntilTransferCompletes;
     case PJRT_HostBufferSemantics_kImmutableZeroCopy:
-      return xla::PjRtClient::HostBufferSemantics::kImmutableZeroCopy;
     case PJRT_HostBufferSemantics_kMutableZeroCopy:
-      return xla::PjRtClient::HostBufferSemantics::kMutableZeroCopy;
+      // This shim blocks in ClientBufferFromHostBuffer until the host
+      // buffer is reusable (it returns an already-ready done event).
+      // Zero-copy aliasing would defer on_done until buffer destruction
+      // and deadlock that wait, so honor the caller's stronger validity
+      // promise with a plain copy — always legal, never aliases.
+      return xla::PjRtClient::HostBufferSemantics::
+          kImmutableUntilTransferCompletes;
     default:
       return absl::InvalidArgumentError("unsupported host buffer semantics");
   }
@@ -191,14 +196,16 @@ PJRT_Error* ClientBufferFromHostBuffer(
     strides.emplace(a->byte_strides, a->num_byte_strides);
   // Block until the host buffer is reusable, then hand back an
   // already-ready done event (pjrt_backend.cpp awaits it immediately;
-  // staging copies are small next to the execute).
-  std::promise<void> done;
+  // staging copies are small next to the execute). The promise is
+  // shared-owned by the callback: on a failed BufferFromHostBuffer the
+  // callback may fire late (or never) and must not reference the stack.
+  auto done = std::make_shared<std::promise<void>>();
   auto buf = a->client->client->BufferFromHostBuffer(
       a->data, *type, absl::Span<const int64_t>(a->dims, a->num_dims),
-      strides, *sem, [&done]() { done.set_value(); }, *memspace,
+      strides, *sem, [done]() { done->set_value(); }, *memspace,
       /*device_layout=*/nullptr);
   if (!buf.ok()) return make_error(buf.status());
-  done.get_future().wait();
+  done->get_future().wait();
   a->buffer = new PJRT_Buffer{std::move(*buf)};
   a->done_with_host_buffer = new PJRT_Event{xla::Future<>(absl::OkStatus())};
   return nullptr;

@@ -197,8 +197,9 @@ def test_load_16bit_png_keeps_high_byte(tmp_path):
 
 def test_load_mode_I_with_16bit_range_data(monkeypatch, tmp_path):
     """Pillow < 10.1 opens 16-bit gray PNGs as mode 'I' (32-bit container)
-    with 0..65535 data; the shift must follow the DATA range, not the
-    container width (shifting by 24 blacked the image out)."""
+    with 0..65535 data; the shift must follow the SOURCE format (PNG caps
+    at 16 bits/channel), not the container width (shifting by 24 blacked
+    the image out)."""
     from PIL import Image as PILImage
 
     wide = (np.arange(16 * 16, dtype=np.uint32) * 257).astype(np.uint16) \
@@ -213,6 +214,7 @@ def test_load_mode_I_with_16bit_range_data(monkeypatch, tmp_path):
         def __init__(self, im):
             self._im = im.convert("I")
             self.mode = "I"
+            self.format = "PNG"
             self.info = {}
 
         def __enter__(self):
@@ -229,3 +231,21 @@ def test_load_mode_I_with_16bit_range_data(monkeypatch, tmp_path):
     loaded = load_image(str(p))
     np.testing.assert_array_equal(loaded.pixels[:, :, 0],
                                   (wide >> 8).astype(np.uint8))
+
+
+def test_load_mode_I_32bit_tiff_scales_consistently(tmp_path):
+    """A genuine 32-bit integer source (int32 TIFF -> PIL mode 'I') always
+    takes the high byte of 32, even for a dark frame whose values happen
+    to sit below 65536 — a data-range heuristic would scale two frames of
+    the same sequence differently across that threshold."""
+    from PIL import Image as PILImage
+
+    bright = (np.arange(16 * 16, dtype=np.int64) * 16_000_000) \
+        .astype(np.int32).reshape(16, 16)
+    dark = (bright // (1 << 16)).astype(np.int32)  # same scene, <65536
+    for name, frame in (("bright.tiff", bright), ("dark.tiff", dark)):
+        PILImage.fromarray(frame, mode="I").save(tmp_path / name)
+        loaded = load_image(str(tmp_path / name))
+        np.testing.assert_array_equal(
+            loaded.pixels[:, :, 0],
+            np.clip(frame >> 24, 0, 255).astype(np.uint8))
