@@ -37,7 +37,9 @@ from .common import (
     HIGHEST,
     Params,
     conv2d,
+    conv3x3s2_block,
     conv_bn,
+    depth_to_space,
     gelu,
     init_conv,
     init_conv_bn,
@@ -45,6 +47,7 @@ from .common import (
     init_mlp,
     layer_norm,
     linear,
+    space_to_depth,
     trunc_normal,
 )
 
@@ -299,16 +302,41 @@ def _tiny_vit_block(params: Params, x: jnp.ndarray, num_heads: int, ws: int,
     return x + _mlp_ln(params["mlp"], x, cfg)
 
 
+def _stem(pe: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Patch embed: two 3x3 stride-2 Conv2d_BNs with a GELU between
+    (reference graph: the MobileSAM encoder's PatchEmbed, exported into
+    mobile_sam_image_encoder.onnx via script/export_models.py).
+
+    On TPU the C_in=3 first conv is the worst op in the whole encoder under
+    XLA's native lowering (~1.15 ms of a 4.8 ms encode @1024, ~2% MFU —
+    lane-padded channels; an im2col rewrite measured ~5x worse, see
+    common.conv2d_im2col). Instead both convs run as 2x2 block convs over a
+    factor-8 space-to-depth grid: conv1's block output layout IS the
+    factor-4 space-to-depth of its (H/2, W/2, 32) result, so conv2 consumes
+    it directly and only two relayouts exist (one space_to_depth of the
+    input, one depth_to_space of the stem output — both ~free). Exact
+    reassociation (unit-pinned); measured 1.16 -> 0.49 ms on v5e."""
+    B, H, W, _ = x.shape
+    c1, c2 = pe["conv1"], pe["conv2"]
+    if H % 8 or W % 8:
+        y = gelu(conv_bn(c1, x, stride=2, padding=1))
+        return conv_bn(c2, y, stride=2, padding=1)
+    g1 = 4  # f=8 -> 4x4 output sub-positions per block
+    y = conv3x3s2_block(space_to_depth(x, 8), c1["w"], f=8)
+    y = y * jnp.tile(c1["scale"], g1 * g1).astype(y.dtype) \
+        + jnp.tile(c1["bias"], g1 * g1).astype(y.dtype)
+    y = gelu(y)
+    # conv2 over the (H/2)-grid at factor 4 == directly on conv1's blocks.
+    y = conv3x3s2_block(y, c2["w"], f=4)
+    y = depth_to_space(y, 2)
+    return y * c2["scale"].astype(y.dtype) + c2["bias"].astype(y.dtype)
+
+
 def tiny_vit_apply(params: Params, x: jnp.ndarray,
                    cfg: TinyViTConfig = TinyViTConfig()) -> jnp.ndarray:
     """Forward pass. x: (B, img_size, img_size, 3) float (already normalised).
     Returns (B, 64, 64, neck_dim) NHWC embedding."""
-    pe = params["patch_embed"]
-    # Native convs: measured on v5e @1024 the stem is ~1.1 ms true device
-    # time; an im2col reformulation (common.conv2d_im2col) was tried and is
-    # ~5x SLOWER here (9 strided passes over the lane-padded C=3 tensor).
-    x = gelu(conv_bn(pe["conv1"], x, stride=2, padding=1))
-    x = conv_bn(pe["conv2"], x, stride=2, padding=1)
+    x = _stem(params["patch_embed"], x)
 
     for i, stage in enumerate(params["stages"]):
         if i == 0:

@@ -364,6 +364,59 @@ def test_conv2d_im2col_matches_native():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_conv3x3s2_block_matches_native():
+    """The space-to-depth block-conv reassociation of a 3x3 stride-2 pad-1
+    conv (the TinyViT stem lowering, common.conv3x3s2_block) is exact vs
+    the native conv at every supported factor, including rectangular
+    inputs and the factor-4/8 production shapes."""
+    import jax.numpy as jnp
+
+    from dlimgedit_tpu.models.common import (conv2d, conv3x3s2_block,
+                                             depth_to_space, space_to_depth)
+
+    rng = np.random.default_rng(11)
+    for (H, W, C, O, f) in [(16, 16, 3, 32, 2), (16, 24, 3, 32, 4),
+                            (32, 16, 3, 32, 8), (16, 16, 32, 64, 4),
+                            (24, 16, 5, 9, 2)]:
+        x = jnp.asarray(rng.standard_normal((2, H, W, C)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, C, O)).astype(np.float32))
+        ref = conv2d(x, w, stride=2, padding=1)
+        y = conv3x3s2_block(space_to_depth(x, f), w, f=f)
+        got = depth_to_space(y, f // 2) if f > 2 else y
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
+
+
+def test_tinyvit_stem_s2d_matches_native_composition():
+    """tinyvit._stem (layout-chained f=8 block convs) reproduces the naive
+    gelu(conv_bn) o conv_bn composition exactly, including the BN affines,
+    and falls back to the native path when H or W is not a multiple of 8."""
+    import jax
+    import jax.numpy as jnp
+
+    from dlimgedit_tpu.models import tinyvit
+    from dlimgedit_tpu.models.common import conv_bn, gelu
+
+    cfg = tinyvit.TinyViTConfig(img_size=64)
+    p = tinyvit.init_tiny_vit(jax.random.PRNGKey(0), cfg)["patch_embed"]
+    # Non-trivial BN affines (init gives scale=1, bias=0).
+    rng = np.random.default_rng(3)
+    for c in ("conv1", "conv2"):
+        p[c]["scale"] = jnp.asarray(
+            rng.standard_normal(p[c]["scale"].shape).astype(np.float32))
+        p[c]["bias"] = jnp.asarray(
+            rng.standard_normal(p[c]["bias"].shape).astype(np.float32))
+
+    def native(x):
+        y = gelu(conv_bn(p["conv1"], x, stride=2, padding=1))
+        return conv_bn(p["conv2"], y, stride=2, padding=1)
+
+    for shape in [(1, 64, 64, 3), (1, 64, 32, 3), (1, 20, 28, 3)]:
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(tinyvit._stem(p, x)),
+                                   np.asarray(native(x)), atol=1e-4)
+
+
 def test_gelu_precision_follows_dtype():
     """bf16 -> tanh GELU (error below the bf16 quantisation step; the TPU
     serving form), f32 -> exact erf (torch parity form)."""

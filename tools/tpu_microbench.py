@@ -234,9 +234,7 @@ def cmd_tinyvit_stages(dev):
 
     def prefix(n_stages, with_neck):
         def f(pp, xx):
-            pe = pp["patch_embed"]
-            y = gelu(conv_bn(pe["conv1"], xx, stride=2, padding=1))
-            y = conv_bn(pe["conv2"], y, stride=2, padding=1)
+            y = tinyvit._stem(pp["patch_embed"], xx)
             for i in range(n_stages):
                 stage = pp["stages"][i]
                 if i == 0:
