@@ -7,8 +7,10 @@ from .multihost import (
     process_local_batch,
     replicate_params,
 )
+from .sp import encode_image_sp, make_sp_mesh, sam_vit_apply_sp
 
 __all__ = ["batch_sharding", "decode_prompt_batch", "encode_frames",
-           "global_mesh", "initialize", "local_rows", "make_mesh",
-           "process_local_batch", "replicate_params", "sam_param_sharding",
+           "encode_image_sp", "global_mesh", "initialize", "local_rows",
+           "make_mesh", "make_sp_mesh", "process_local_batch",
+           "replicate_params", "sam_param_sharding", "sam_vit_apply_sp",
            "segment_frames"]

@@ -11,8 +11,13 @@ Axes:
   dp — data parallel over images/frames (embarrassingly parallel encode).
   tp — tensor parallel over attention heads / MLP hidden dims of the encoder
        (relevant for ViT-H at high resolution, BASELINE config 4).
+  sp — sequence parallel over the encoder's token windows (parallel/sp.py:
+       single-image latency scale-out; zero communication for windowed
+       blocks, one all_gather per global block).
 Pipeline/expert axes are intentionally absent: 2-layer decoders and dense
-ViTs have no profitable pp/ep decomposition at this scale.
+ViTs have no profitable pp decomposition at this scale (ViT-H fits one v5e
+chip 12x over — stage-sharding would only add bubble latency), and no model
+in the family has experts.
 """
 
 from __future__ import annotations
