@@ -501,9 +501,10 @@ dlimg_Result api_create_environment(dlimg_Environment* out,
                                     dlimg_Options const* opts) {
   return try_([&]() -> dlimg_Result {
     if (const char* bundle = std::getenv("DLIMG_PJRT_BUNDLE")) {
-        // Native serving mode: the whole SAM hot path runs through the
-        // PJRT C API; Python stays uninitialised unless segment_objects
-        // or a codec fallback needs it.
+        // Native serving mode: the whole public API (process, masks,
+        // segment_objects, codecs) runs through the PJRT C API + native
+        // codecs; Python stays uninitialised — unrecognised image
+        // containers report an error instead of booting the interpreter.
         std::string err;
         dlimg_pjrt::Backend* be = dlimg_pjrt::create(bundle, &err);
         if (!be) {
@@ -640,6 +641,18 @@ dlimg_Result api_load_image(char const* filepath, int* out_extent,
             return dlimg_error;
         }
     }
+    if (std::getenv("DLIMG_PJRT_BUNDLE")) {
+        // PJRT serving mode is Python-free by contract: an unrecognised
+        // (or magic-stripped corrupt) file must NOT boot an interpreter
+        // in the serving process — it reports an error instead. The
+        // embedded mode below keeps the PIL fallback for containers the
+        // native codecs don't cover (found by the codec fuzz loop in
+        // native/test/test_codecs.cpp).
+        set_error("load_image: unrecognised image format (native codecs: "
+                  "png/jpeg/bmp/tga; the Python codec fallback is disabled "
+                  "in PJRT serving mode)");
+        return dlimg_error;
+    }
     if (!PyRuntime::get().ensure()) return dlimg_error;
     Gil gil;
     PyObject* r = bridge_call("load_image", Py_BuildValue("(s)", filepath));
@@ -689,6 +702,12 @@ dlimg_Result api_save_image(dlimg_ImageView const* img, char const* filepath) {
             set_error("save_image: " + err);
             return dlimg_error;
         }
+    }
+    if (std::getenv("DLIMG_PJRT_BUNDLE")) {
+        set_error("save_image: unsupported channel order for the native PNG "
+                  "encoder (mask/rgb/rgba); the Python codec fallback is "
+                  "disabled in PJRT serving mode");
+        return dlimg_error;
     }
     if (!PyRuntime::get().ensure()) return dlimg_error;
     Gil gil;
