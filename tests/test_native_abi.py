@@ -279,3 +279,60 @@ def test_segment_objects_abi(api, env):
         assert out.min() >= 0 and out.max() <= 255
     finally:
         os.environ.pop("DLIMG_BIREFNET_RESOLUTION", None)
+
+
+def test_hostile_arguments_error_not_crash(api, env, tmp_path):
+    """Hostile/degenerate arguments must yield dlimg_error + a message (or a
+    clamped success), never abort the host — the round-3 exception-trapping
+    contract, pinned here at the ctypes level (the reference inherits this
+    from its C++ test tier, test_segmentation.cpp error scenarios)."""
+    # 0x0 image.
+    empty = np.zeros((1, 1, 3), np.uint8)  # valid buffer, lying extents
+    view = DlimgImageView(width=0, height=0, channels=3, stride=0,
+                          pixels=empty.ctypes.data_as(
+                              ctypes.POINTER(ctypes.c_uint8)))
+    seg = ctypes.c_void_p()
+    rc = api.process_image_for_segmentation(ctypes.byref(seg),
+                                            ctypes.byref(view), env)
+    assert rc == 1 and api.last_error()
+
+    # Unsupported channel count (2 = gray+alpha is not a dlimg format).
+    arr2 = np.zeros((8, 8, 2), np.uint8)
+    rc = api.process_image_for_segmentation(
+        ctypes.byref(seg), ctypes.byref(_view(arr2, 2)), env)
+    assert rc == 1 and api.last_error()
+
+    # Out-of-range point prompt on a real segmentation: clamped success or
+    # a clean error are both acceptable; a crash is not.
+    rng = np.random.default_rng(7)
+    arr = np.ascontiguousarray(rng.integers(0, 256, (32, 32, 3),
+                                            dtype=np.uint8))
+    rc = api.process_image_for_segmentation(
+        ctypes.byref(seg), ctypes.byref(_view(arr, 3)), env)
+    assert rc == 0, api.last_error().decode()
+    mask = np.zeros(32 * 32, np.uint8)
+    out_masks = (ctypes.POINTER(ctypes.c_uint8) * 3)(
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), None, None)
+    acc = (ctypes.c_float * 3)()
+    for px, py in [(-5, -5), (10_000, 10_000)]:
+        point = (ctypes.c_int * 2)(px, py)
+        rc = api.get_segmentation_mask(seg, point, None, out_masks, acc)
+        assert rc in (0, 1)
+        if rc == 1:
+            assert api.last_error()
+    # Degenerate (inverted) region prompt.
+    region = (ctypes.c_int * 4)(20, 20, 4, 4)
+    rc = api.get_segmentation_mask(seg, None, region, out_masks, acc)
+    assert rc in (0, 1)
+    api.destroy_segmentation(seg)
+
+    # Codec error paths: directory as image, unwritable save target.
+    extent = (ctypes.c_int * 2)()
+    channels = ctypes.c_int()
+    px = ctypes.POINTER(ctypes.c_uint8)()
+    rc = api.load_image(str(tmp_path).encode(), extent,
+                        ctypes.byref(channels), ctypes.byref(px))
+    assert rc == 1 and api.last_error()
+    rc = api.save_image(ctypes.byref(_view(arr, 3)),
+                        b"/nonexistent-dir/out.png")
+    assert rc == 1 and api.last_error()
