@@ -336,3 +336,43 @@ def test_hostile_arguments_error_not_crash(api, env, tmp_path):
     rc = api.save_image(ctypes.byref(_view(arr, 3)),
                         b"/nonexistent-dir/out.png")
     assert rc == 1 and api.last_error()
+
+
+def test_abi_concurrent_queries(api, env):
+    """Concurrent C ABI calls from multiple host threads: ctypes releases
+    the GIL during the foreign call, so this drives the shim's GIL
+    re-acquisition (Gil in capi.cpp) and the thread_local staging canvases
+    under real contention — the reference documents Environment
+    thread-safety (dlimgedit.hpp:101) and this is the C-level analog of
+    test_segmentation.py's Python-level test."""
+    import threading
+
+    rng = np.random.default_rng(11)
+    errs = []
+
+    def worker(i):
+        try:
+            arr = np.ascontiguousarray(
+                rng.integers(0, 256, (24 + i, 32, 3), dtype=np.uint8))
+            seg = ctypes.c_void_p()
+            rc = api.process_image_for_segmentation(
+                ctypes.byref(seg), ctypes.byref(_view(arr, 3)), env)
+            assert rc == 0, api.last_error().decode()
+            mask = np.zeros((24 + i) * 32, np.uint8)
+            out = (ctypes.POINTER(ctypes.c_uint8) * 3)(
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                None, None)
+            acc = (ctypes.c_float * 3)()
+            point = (ctypes.c_int * 2)(16, 12)
+            rc = api.get_segmentation_mask(seg, point, None, out, acc)
+            assert rc == 0, api.last_error().decode()
+            api.destroy_segmentation(seg)
+        except Exception as e:  # surfaced after join
+            errs.append((i, e))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
