@@ -16,8 +16,12 @@ the sp axis with ZERO communication for every windowed block (ViT-H: 28 of
 whole image:
 
   * each global-attention block: one `all_gather` of the token stream over
-    sp (ViT-H @1024: ~12.5 MB bf16 — ~0.1-0.3 ms on v5e ICI), the block
-    computed on the gathered grid, then a local re-shard (slice);
+    sp (ViT-H @1024: ~12.5 MB bf16 — ~0.1-0.3 ms on v5e ICI) to build the
+    grid, the block computed with ROW-SHARDED queries (q/proj/MLP and the
+    quadratic score/out matmuls all run on 1/sp of the rows; k/v are
+    recomputed from the gathered grid instead of gathered — 2/3 of one qkv
+    matmul ≈ 0.24 ms replicated beats moving 25 MB over ICI), then one row
+    `all_gather` back;
   * the final unpartition before the neck convs.
 
 Everything else — qkv/proj/MLP matmuls, LayerNorms, the windowed attention
@@ -49,8 +53,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.common import conv2d, gelu, layer_norm, linear
-from ..models.vit_sam import SamViTConfig, _vit_attention
+from ..models.common import HIGHEST, conv2d, gelu, layer_norm, linear
+from ..models.vit_sam import SamViTConfig, _vit_attention, gather_rel_pos
 
 __all__ = ["make_sp_mesh", "sam_vit_apply_sp", "encode_image_sp"]
 
@@ -146,7 +150,12 @@ def sam_vit_apply_sp(params, x: jnp.ndarray, cfg: SamViTConfig, mesh: Mesh,
         return win + linear(bp["mlp"]["lin2"],
                             gelu(linear(bp["mlp"]["lin1"], y2)))
 
-    def block_global(bp, grid):
+    def block_global_replicated(bp, grid):
+        # Fallback for the Pallas-flash and quantized-qkv paths (the
+        # row-sharded form below slices plain f32/bf16 qkv weights and
+        # computes bias with the dense decomposition): every device runs
+        # the full global block on the gathered grid. ViT-H: 4 of 32
+        # blocks duplicated, the other 28 still scale 1/sp.
         y1 = layer_norm(bp["norm1"], grid, eps=eps)
         a = _vit_attention(bp, y1, cfg.num_heads, cfg.use_rel_pos,
                            use_flash=cfg.use_flash_attention,
@@ -156,6 +165,67 @@ def sam_vit_apply_sp(params, x: jnp.ndarray, cfg: SamViTConfig, mesh: Mesh,
         return grid + linear(bp["mlp"]["lin2"],
                              gelu(linear(bp["mlp"]["lin1"], y2)))
 
+    def block_global_rows(bp, grid, idx):
+        # Row-sharded global block: queries, proj, MLP and the quadratic
+        # score/out matmuls run on this device's row band only; k/v are
+        # recomputed from the full (unpadded) grid, so no key masking is
+        # ever needed and pad-query rows are cropped by the final slice.
+        # Bit-exact vs the dense path: the q|kv weight split leaves every
+        # output column's contraction untouched, and the rel-pos bias uses
+        # the same einsum decomposition on the sliced row band.
+        B_, G_, _, C = grid.shape
+        nh = cfg.num_heads
+        hd = C // nh
+        rl = -(-G_ // sp)  # ceil: row band per device
+        Gp = rl * sp
+        pad_rows = ((0, 0), (0, Gp - G_), (0, 0), (0, 0))
+        y1 = layer_norm(bp["norm1"], grid, eps=eps)
+        y1l = jax.lax.dynamic_slice_in_dim(jnp.pad(y1, pad_rows),
+                                           idx * rl, rl, 1)
+        xl = jax.lax.dynamic_slice_in_dim(jnp.pad(grid, pad_rows),
+                                          idx * rl, rl, 1)
+        w, b = bp["qkv"]["w"], bp["qkv"]["b"]
+        q = jnp.dot(y1l.reshape(B_, rl * G_, C), w[:, :C].astype(y1.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=HIGHEST).astype(y1.dtype) + b[:C].astype(y1.dtype)
+        kv = jnp.dot(y1.reshape(B_, G_ * G_, C), w[:, C:].astype(y1.dtype),
+                     preferred_element_type=jnp.float32,
+                     precision=HIGHEST).astype(y1.dtype) + b[C:].astype(y1.dtype)
+        q = q.reshape(B_, rl * G_, nh, hd).transpose(0, 2, 1, 3)
+        kv = kv.reshape(B_, G_ * G_, 2, nh, hd).transpose(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+        scores = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                            preferred_element_type=jnp.float32,
+                            precision=HIGHEST) * (hd ** -0.5)
+        if cfg.use_rel_pos:
+            rh = gather_rel_pos(bp["rel_pos_h"], G_)
+            rw = gather_rel_pos(bp["rel_pos_w"], G_)
+            rh_loc = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(rh, ((0, Gp - G_), (0, 0), (0, 0))), idx * rl, rl, 0)
+            qr = q.reshape(B_, nh, rl, G_, hd)
+            bias_h = jnp.einsum("bnrwc,rkc->bnrwk", qr,
+                                rh_loc.astype(q.dtype),
+                                preferred_element_type=jnp.float32,
+                                precision=HIGHEST)
+            bias_w = jnp.einsum("bnrwc,wlc->bnrwl", qr, rw.astype(q.dtype),
+                                preferred_element_type=jnp.float32,
+                                precision=HIGHEST)
+            scores = scores + (bias_h[..., :, None] +
+                               bias_w[..., None, :]).reshape(
+                                   B_, nh, rl * G_, G_ * G_)
+        probs = jax.nn.softmax(scores.astype(jnp.float32),
+                               axis=-1).astype(v.dtype)
+        out = jnp.einsum("bnqk,bnkd->bnqd", probs, v,
+                         preferred_element_type=jnp.float32,
+                         precision=HIGHEST).astype(v.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, rl, G_, C)
+        h = xl + linear(bp["proj"], out)
+        y2 = layer_norm(bp["norm2"], h, eps=eps)
+        rows = h + linear(bp["mlp"]["lin2"],
+                          gelu(linear(bp["mlp"]["lin1"], y2)))
+        full = jax.lax.all_gather(rows, axis, axis=1, tiled=True)
+        return full[:, :G_]
+
     def body(prm, win, mask):
         # win/mask: (n_loc, ws, ws, C/1) — this shard's windows.
         idx = jax.lax.axis_index(axis)
@@ -163,7 +233,10 @@ def sam_vit_apply_sp(params, x: jnp.ndarray, cfg: SamViTConfig, mesh: Mesh,
             if i in cfg.global_attn_indexes:
                 full = jax.lax.all_gather(win, axis, axis=0, tiled=True)
                 grid = _unpartition(full, B, G, ws, pad)
-                grid = block_global(bp, grid)
+                if cfg.use_flash_attention or "w" not in bp["qkv"]:
+                    grid = block_global_replicated(bp, grid)
+                else:
+                    grid = block_global_rows(bp, grid, idx)
                 full = _partition(grid, ws, pad, n_extra)
                 win = jax.lax.dynamic_slice_in_dim(full, idx * n_loc, n_loc, 0)
             else:

@@ -48,6 +48,22 @@ def test_sp_parity(img_size, window, sp, B):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_sp_parity_flash_interpret():
+    """Flash mode routes global blocks through the replicated fallback
+    (the Pallas kernel covers the full grid); parity must still hold."""
+    cfg = _tiny_cfg(128, 4)
+    cfg = SamViTConfig(**{**cfg.__dict__, "use_flash_attention": True,
+                          "flash_interpret": True})
+    params = init_sam_vit(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 128, 128, 3)), jnp.float32)
+    ref = sam_vit_apply(params, x, cfg)
+    mesh = make_sp_mesh(4, devices=jax.devices("cpu"))
+    got = jax.jit(lambda p, im: sam_vit_apply_sp(p, im, cfg, mesh))(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_encode_image_sp_matches_encode_image():
     cfg = sam_lib.make_config("vit_b", image_size=128)
     # Shrink to test scale: the preset's depth/width at 8 CPU devices is
