@@ -117,3 +117,24 @@ def test_finetune_decoder_runs(tmp_path, capsys):
     mod.main(argv=[str(tmp_path / "ckpts")], bundle_out=str(bundle),
              n_steps=1, devices=devs[:8])
     assert "resumed from step 2" in capsys.readouterr().out
+
+
+def test_latency_scaleout_runs(capsys):
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    from dlimgedit_tpu.models import sam as sam_lib
+    from dlimgedit_tpu.models.vit_sam import SamViTConfig
+
+    # Tiny ViT config with grid padding so both layout paddings execute.
+    cfg = sam_lib.SamConfig(
+        variant="vit_b", image_size=144,
+        encoder_vit=SamViTConfig(img_size=144, patch_size=16, embed_dim=64,
+                                 depth=2, num_heads=2, window_size=4,
+                                 global_attn_indexes=(1,)))
+    params = sam_lib.init_sam(jax.random.PRNGKey(0), cfg)
+    mod = _load_example("latency_scaleout")
+    mod.main(devices=devs[:4], cfg=cfg, params=params)
+    text = capsys.readouterr().out
+    assert "sp mesh: {'sp': 4}" in text
+    assert "max|sp - single|" in text
