@@ -21,6 +21,12 @@ def test_aot_export_serving_bundle_quantized(tmp_path):
     weight rows appear as `inw int8` spec lines the C loader understands
     (pjrt_backend.cpp |i1 -> PJRT_Buffer_Type_S8), packed-mask outputs obey
     the 1-D serving layout rule, and serving.txt records the quant mode."""
+    # Build the native tree FIRST: the exporter records plugin_path.txt
+    # only if libdlimg_pjrt_cpu.so already exists, so on a fresh build dir
+    # the export-then-build order would bake an empty path into the bundle
+    # (first-run-only failure; see tests/_native_build.prebuild_native).
+    from tests._native_build import prebuild_native
+    prebuild_native()
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("PYTHONPATH", None)
