@@ -7,14 +7,15 @@ hardware-conditional tier of the reference's test strategy, SURVEY.md §4).
 
 import os
 
-# Must be set before jax is imported anywhere.
+# Best-effort env pinning. NOTE (round-4 env update, CLAUDE.md): the
+# PYTHONPATH sitecustomize imports jax at interpreter startup, so these
+# edits can be TOO LATE to influence plugin registration — the actual
+# dead-relay protection is the jax.config.update("jax_platforms", "cpu")
+# below, which restricts backend init even when the plugin registered
+# (a dead relay would otherwise hang the first backend init forever).
+# Keep the env edits anyway: they are sufficient when conftest IS the
+# first jax importer (environments without the sitecustomize).
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Dead-relay proofing (CLAUDE.md env facts): the axon TPU plugin ignores
-# JAX_PLATFORMS and dials its relay at plugin registration — with the relay
-# dead, the first backend init (even jax.devices("cpu") below) hangs the
-# whole suite forever. Tests are CPU-pinned by design, so never let the
-# plugin register: scrub its discovery env var unconditionally, the same
-# treatment __graft_entry__._degrade_to_cpu_if_relay_dead applies.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

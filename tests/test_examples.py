@@ -135,6 +135,20 @@ def test_latency_scaleout_runs(capsys):
     params = sam_lib.init_sam(jax.random.PRNGKey(0), cfg)
     mod = _load_example("latency_scaleout")
     mod.main(devices=devs[:4], cfg=cfg, params=params)
+
+    from dlimgedit_tpu.models import birefnet
+    from dlimgedit_tpu.models.swin import SwinConfig
+
+    bcfg = birefnet.BiRefNetConfig(
+        img_size=64,
+        swin_cfg=SwinConfig(embed_dim=16, depths=(1, 1, 1, 1),
+                            num_heads=(2, 2, 2, 2), window=4),
+        dec_inter_channels=8, aspp_channelster=12, gdt_channels=4,
+        aspp_kernel_sizes=(1, 3))
+    bparams = birefnet.init_birefnet(jax.random.PRNGKey(1), bcfg)
+    mod.main_birefnet(devices=devs[:4], bcfg=bcfg, bparams=bparams)
+
     text = capsys.readouterr().out
     assert "sp mesh: {'sp': 4}" in text
     assert "max|sp - single|" in text
+    assert "max|spatial - single|" in text
