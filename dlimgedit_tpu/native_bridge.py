@@ -15,6 +15,9 @@ comes from environment variables:
   DLIMG_COMPUTE_DTYPE=float32   — encoder compute dtype (default bfloat16)
   DLIMG_COMPILATION_CACHE=/path — persistent XLA compile cache (AOT reuse;
                                   pre-fill with tools/aot_warmup.py)
+  DLIMG_SCALEOUT_DEVICES=0      — single-image latency scale-out over the
+                                  backend's devices (Options.scaleout_devices:
+                                  0 = all, 1 = off, N = that many)
 """
 
 from __future__ import annotations
@@ -55,6 +58,7 @@ def create_environment(backend: int, model_directory: str) -> Environment:
         sam_image_size=int(os.environ.get("DLIMG_SAM_IMAGE_SIZE", "1024")),
         compute_dtype=os.environ.get("DLIMG_COMPUTE_DTYPE", "bfloat16"),
         compilation_cache_dir=os.environ.get("DLIMG_COMPILATION_CACHE"),
+        scaleout_devices=int(os.environ.get("DLIMG_SCALEOUT_DEVICES", "1")),
     )
     return Environment(opts)
 

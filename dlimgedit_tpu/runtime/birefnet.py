@@ -57,7 +57,7 @@ def load_birefnet(env, kind: str) -> BiRefNetBundle:
     for name in BIREFNET_BUNDLES[kind]:
         path = env.model_directory / "segmentation" / name
         if path.exists():
-            return BiRefNetBundle(cfg, load_pytree(path), env.device,
+            return BiRefNetBundle(cfg, load_pytree(path), env.put_target,
                                   env.compute_dtype, resolution)
     if env.options.allow_random_weights:
         if os.environ.get("DLIMG_BIREFNET_TEST_SLIM") == "1":
@@ -74,13 +74,13 @@ def load_birefnet(env, kind: str) -> BiRefNetBundle:
                 dec_inter_channels=8, aspp_channelster=12, gdt_channels=4,
                 aspp_kernel_sizes=(1, 3))
         params = init_birefnet(jax.random.PRNGKey(0), cfg)
-        return BiRefNetBundle(cfg, params, env.device, env.compute_dtype,
+        return BiRefNetBundle(cfg, params, env.put_target, env.compute_dtype,
                               resolution)
     raise ModelNotFoundError(
         f"Could not find any BiRefNet model in {env.model_directory}")
 
 
-def _build_birefnet_fn(bundle: BiRefNetBundle, bucket: int):
+def _build_birefnet_fn(bundle: BiRefNetBundle, bucket: int, mesh=None):
     from ..models.birefnet import birefnet_apply
 
     cfg = bundle.cfg
@@ -95,7 +95,20 @@ def _build_birefnet_fn(bundle: BiRefNetBundle, bucket: int):
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
         x = ((x - mean) / std)[None].astype(bundle.compute_dtype)
-        logits = birefnet_apply(params, x, cfg)  # (1, S, S, 1)
+        if mesh is not None:
+            # Latency scale-out (Options.scaleout_devices): canvas rows over
+            # the ('sp',) axis, GSPMD halo exchanges for convs / Swin window
+            # attention — the parallel/spatial.py scheme inlined into the
+            # serving program so the resize+normalise fusion stays intact.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(None, "sp")))
+            logits = birefnet_apply(params, x, cfg)  # (1, S, S, 1)
+            logits = jax.lax.with_sharding_constraint(
+                logits, NamedSharding(mesh, P()))
+        else:
+            logits = birefnet_apply(params, x, cfg)  # (1, S, S, 1)
         return sigmoid_to_u8(logits[0, :, :, 0])
 
     return jax.jit(run)
@@ -110,12 +123,12 @@ def birefnet_segment(env, view: ImageView) -> Image:
     bucket = pick_bucket(extent)
     sizes = env.sizes_on_device((extent.height, extent.width))
     run = env.executable(("birefnet", kind, bucket),
-                         lambda: _build_birefnet_fn(bundle, bucket))
+                         lambda: _build_birefnet_fn(bundle, bucket, env.mesh))
     # Pooled staging canvas off-CPU (no 3 MB zeroing; the resample matrices
     # in _build_birefnet_fn mask everything outside [:h, :w]); pack + H2D
     # pipelined per row chunk where the DMA is real (resolve_h2d_chunks).
     parts, _ = pack_and_put_canvas(
-        view, bucket, env.device,
+        view, bucket, env.put_target,
         pooled=env.device.platform != "cpu",
         n_chunks=resolve_h2d_chunks(env.options.h2d_overlap_chunks,
                                     env.device.platform))

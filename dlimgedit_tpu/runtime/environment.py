@@ -115,9 +115,29 @@ class Environment:
         # The accelerator case was validated just above; probing again via
         # jax.devices() would only repeat a call that hangs when the axon
         # relay is dead (CLAUDE.md environment facts).
-        self.device = (_accelerator_devices()[0]
-                       if self.options.backend != Backend.cpu
-                       else jax.devices("cpu")[0])
+        devices = (_accelerator_devices()
+                   if self.options.backend != Backend.cpu
+                   else jax.devices("cpu"))
+        self.device = devices[0]
+        # Latency scale-out (Options.scaleout_devices): a 1-D ('sp',) mesh
+        # over the backend's devices. `put_target` is where every runtime
+        # device_put lands — replicated over the mesh when scale-out is on
+        # (all inputs/params must share a device set or XLA refuses to mix
+        # them in one program), the single primary device otherwise.
+        self.mesh = None
+        n_req = self.options.scaleout_devices
+        if n_req != 1:
+            n = len(devices) if n_req == 0 else min(n_req, len(devices))
+            if n >= 2:
+                from ..parallel.sp import make_sp_mesh
+
+                self.mesh = make_sp_mesh(n, devices=devices[:n])
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.put_target = NamedSharding(self.mesh, PartitionSpec())
+        else:
+            self.put_target = self.device
         self.compute_dtype = jnp.dtype(self.options.compute_dtype)
         self._sam_models: Dict[str, Lazy] = {v: Lazy() for v in SAM_BUNDLES}
         self._birefnet_models: Dict[str, Lazy] = {
@@ -142,7 +162,7 @@ class Environment:
             hit = self._sizes_cache.get(key)
             if hit is not None:
                 return hit
-        arr = jax.device_put(np.asarray(key, np.int32), self.device)
+        arr = jax.device_put(np.asarray(key, np.int32), self.put_target)
         with self._exec_lock:
             if len(self._sizes_cache) >= 256:
                 self._sizes_cache.pop(next(iter(self._sizes_cache)))
@@ -198,7 +218,7 @@ class Environment:
                 f"Model file not found: {path} (convert a checkpoint with "
                 f"dlimgedit_tpu.convert, or set allow_random_weights)")
         return SamModelBundle(
-            cfg, params, self.device, self.compute_dtype,
+            cfg, params, self.put_target, self.compute_dtype,
             quantize=self.options.quantize_encoder,
             quantize_activations=self.options.quantize_activations)
 

@@ -53,7 +53,16 @@ class Mask:
     accuracy: float = 0.0
 
 
-def _build_embed_fn(bundle):
+def _build_embed_fn(bundle, mesh=None):
+    """Preprocess + image encoder as one XLA program.
+
+    With `mesh` (Options.scaleout_devices), the encoder runs latency-sharded
+    over the ('sp',) axis: ViT variants through the sequence-parallel tier
+    (parallel/sp.py — numerically identical shard_map schedule), TinyViT
+    through GSPMD canvas-row sharding (the parallel/spatial.py scheme: its
+    conv stages and static-window attention partition row-locally with halo
+    exchanges). Both return the embedding replicated, so every decode
+    program downstream is unchanged."""
     cfg = bundle.cfg
 
     def run(params, canvas_parts, sizes):
@@ -61,7 +70,21 @@ def _build_embed_fn(bundle):
         x = sam_preprocess(canvas, sizes[0], sizes[1], sizes[2], sizes[3],
                            image_size=cfg.image_size,
                            compute_dtype=bundle.compute_dtype)
-        emb = sam_lib.encode_image(params, cfg, x)
+        if mesh is not None and cfg.encoder_vit is not None:
+            from ..parallel.sp import sam_vit_apply_sp
+
+            emb = sam_vit_apply_sp(params["encoder"], x, cfg.encoder_vit,
+                                   mesh)
+        elif mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(None, "sp")))
+            emb = sam_lib.encode_image(params, cfg, x)
+            emb = jax.lax.with_sharding_constraint(
+                emb, NamedSharding(mesh, P()))
+        else:
+            emb = sam_lib.encode_image(params, cfg, x)
         return emb.astype(jnp.float32)
 
     return jax.jit(run)
@@ -186,11 +209,11 @@ class Segmentation:
             sizes = (extent.height, extent.width,
                      target.height, target.width)
         embed = env.executable(("embed", variant, bucket),
-                               lambda: _build_embed_fn(bundle))
+                               lambda: _build_embed_fn(bundle, env.mesh))
         # Pack + H2D, pipelined per row chunk where the DMA is real
         # (resolve_h2d_chunks; single put on CPU / through the relay).
         parts, _ = pack_and_put_canvas(
-            view, bucket, env.device, pooled=pooled,
+            view, bucket, env.put_target, pooled=pooled,
             n_chunks=resolve_h2d_chunks(env.options.h2d_overlap_chunks,
                                         env.device.platform))
         emb = embed(bundle.params, parts, env.sizes_on_device(sizes))

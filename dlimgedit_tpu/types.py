@@ -232,6 +232,19 @@ class Options:
     # pre-built ONNX graphs (first-call latency drops from ~seconds of
     # compilation to cache-read time). Pre-fill with tools/aot_warmup.py.
     compilation_cache_dir: Optional[str] = None
+    # Single-image latency scale-out across the backend's devices: 1 (the
+    # default) keeps today's single-device path; 0 = all devices of the
+    # selected backend; N >= 2 = that many. When the resulting mesh has
+    # >= 2 devices, Environment routes the heavy encoders through the
+    # latency tiers — ViT SAM variants via the sequence-parallel encoder
+    # (parallel/sp.py: window-sharded residual stream, all_gather only at
+    # global blocks) and TinyViT/BiRefNet via GSPMD canvas-row sharding
+    # (parallel/spatial.py's scheme: convs/window attention stay row-local
+    # with halo exchanges) — numerically identical to the single-device
+    # programs (tests/test_scaleout.py). Falls back to the single-device
+    # path when fewer than 2 devices exist, so serving configs can set 0
+    # unconditionally.
+    scaleout_devices: int = 1
 
 
 @dataclass(frozen=True)
