@@ -54,24 +54,44 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.common import HIGHEST, conv2d, gelu, layer_norm, linear
-from ..models.vit_sam import SamViTConfig, _vit_attention, gather_rel_pos
+from ..models.vit_sam import (
+    SamViTConfig,
+    _layer_norm,
+    _vit_attention,
+    _vit_block_carry,
+    gather_rel_pos,
+)
 
 __all__ = ["make_sp_mesh", "sam_vit_apply_sp", "encode_image_sp"]
 
 
 def make_sp_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D ('sp',) mesh over `n_devices` (CPU fallback like make_mesh)."""
+    """1-D ('sp',) mesh over `n_devices` (CPU fallback like make_mesh).
+
+    Fails loudly when fewer devices are visible than requested (matching
+    make_mesh's reshape behaviour) — a silently smaller mesh would let
+    parity gates "pass" while exercising almost no parallelism."""
     if devices is None:
         devices = jax.devices()
         if n_devices is not None and len(devices) < n_devices:
             devices = jax.devices("cpu")
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"make_sp_mesh({n}): only {len(devices)} devices visible "
+            "(set --xla_force_host_platform_device_count for CPU meshes)")
     return Mesh(np.asarray(devices[:n]), ("sp",))
 
 
 def _geometry(cfg: SamViTConfig, B: int, sp: int):
-    """Static window-grid geometry for the sharded layout."""
-    G, ws = cfg.grid, cfg.window_size
+    """Static window-grid geometry for the sharded layout.
+
+    window_size=0 (every block global in the dense path) degenerates to
+    one grid-sized window per image: "windowed" blocks then compute
+    full-grid attention — exactly the dense path's global branch — and
+    the layout stays well-defined (no parallel win for the non-indexed
+    blocks, but correct instead of a ZeroDivisionError)."""
+    G, ws = cfg.grid, cfg.window_size or cfg.grid
     pad = (ws - G % ws) % ws
     pG = G + pad
     n_side = pG // ws
@@ -124,7 +144,6 @@ def sam_vit_apply_sp(params, x: jnp.ndarray, cfg: SamViTConfig, mesh: Mesh,
     G, ws, pad, _, _, n_win, n_tot = _geometry(cfg, B, sp)
     n_loc = n_tot // sp
     n_extra = n_tot - n_win  # dummy windows appended so sp divides n_tot
-    eps = cfg.layer_norm_eps
 
     # Patch embed + abs pos on the replicated grid: 1 matmul over G*G tokens
     # (~2% of encoder FLOPs) — not worth a reshard before the window split.
@@ -140,13 +159,16 @@ def sam_vit_apply_sp(params, x: jnp.ndarray, cfg: SamViTConfig, mesh: Mesh,
     def block_windowed(bp, win, mask):
         # Pad semantics == _vit_attn_branch: zero AFTER LN, so pad keys see
         # exactly the qkv bias; residual garbage at pads is masked here and
-        # cropped at the end.
-        y1 = layer_norm(bp["norm1"], win, eps=eps) * mask
+        # cropped at the end. LN goes through _layer_norm so the TPU
+        # fused-kernel dispatch (bit-matching) applies here too; the
+        # mask multiply between LN and attention is why this body can't
+        # use _vit_block_carry's fused add+LN carry form directly.
+        y1 = _layer_norm(bp["norm1"], win, cfg) * mask
         a = _vit_attention(bp, y1, cfg.num_heads, cfg.use_rel_pos,
                            use_flash=cfg.use_flash_attention,
                            flash_interpret=cfg.flash_interpret)
         win = win + a
-        y2 = layer_norm(bp["norm2"], win, eps=eps)
+        y2 = _layer_norm(bp["norm2"], win, cfg)
         return win + linear(bp["mlp"]["lin2"],
                             gelu(linear(bp["mlp"]["lin1"], y2)))
 
@@ -154,16 +176,12 @@ def sam_vit_apply_sp(params, x: jnp.ndarray, cfg: SamViTConfig, mesh: Mesh,
         # Fallback for the Pallas-flash and quantized-qkv paths (the
         # row-sharded form below slices plain f32/bf16 qkv weights and
         # computes bias with the dense decomposition): every device runs
-        # the full global block on the gathered grid. ViT-H: 4 of 32
+        # the full global block on the gathered grid — the ONE canonical
+        # block body (_vit_block_carry, window=0), so fused-LN and any
+        # future block changes apply here automatically. ViT-H: 4 of 32
         # blocks duplicated, the other 28 still scale 1/sp.
-        y1 = layer_norm(bp["norm1"], grid, eps=eps)
-        a = _vit_attention(bp, y1, cfg.num_heads, cfg.use_rel_pos,
-                           use_flash=cfg.use_flash_attention,
-                           flash_interpret=cfg.flash_interpret)
-        grid = grid + a
-        y2 = layer_norm(bp["norm2"], grid, eps=eps)
-        return grid + linear(bp["mlp"]["lin2"],
-                             gelu(linear(bp["mlp"]["lin1"], y2)))
+        h, m = _vit_block_carry(bp, grid, None, cfg, 0)
+        return h + m
 
     def block_global_rows(bp, grid, idx):
         # Row-sharded global block: queries, proj, MLP and the quadratic
@@ -179,7 +197,7 @@ def sam_vit_apply_sp(params, x: jnp.ndarray, cfg: SamViTConfig, mesh: Mesh,
         rl = -(-G_ // sp)  # ceil: row band per device
         Gp = rl * sp
         pad_rows = ((0, 0), (0, Gp - G_), (0, 0), (0, 0))
-        y1 = layer_norm(bp["norm1"], grid, eps=eps)
+        y1 = _layer_norm(bp["norm1"], grid, cfg)
         y1l = jax.lax.dynamic_slice_in_dim(jnp.pad(y1, pad_rows),
                                            idx * rl, rl, 1)
         xl = jax.lax.dynamic_slice_in_dim(jnp.pad(grid, pad_rows),
@@ -220,7 +238,7 @@ def sam_vit_apply_sp(params, x: jnp.ndarray, cfg: SamViTConfig, mesh: Mesh,
                          precision=HIGHEST).astype(v.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B_, rl, G_, C)
         h = xl + linear(bp["proj"], out)
-        y2 = layer_norm(bp["norm2"], h, eps=eps)
+        y2 = _layer_norm(bp["norm2"], h, cfg)
         rows = h + linear(bp["mlp"]["lin2"],
                           gelu(linear(bp["mlp"]["lin1"], y2)))
         full = jax.lax.all_gather(rows, axis, axis=1, tiled=True)

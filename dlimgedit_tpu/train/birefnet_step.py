@@ -58,12 +58,18 @@ class BiRefNetTrainConfig:
 
 
 def _soft_iou_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Upstream IoULoss: 1 - inter/union on sigmoid probabilities, per image."""
+    """Soft IoU: 1 - (inter+1)/(union+1) on sigmoid probabilities, per image.
+
+    The +1 smoothing (the standard BASNet-lineage form upstream BiRefNet's
+    IoULoss derives from) is what makes empty-mask frames well-behaved: a
+    correct near-zero prediction on an empty target gives loss -> 0, where
+    the unsmoothed ratio is 0/0 (and a denominator clamp would report a
+    constant loss of 1 with zero gradient for exactly the right answer)."""
     p = jax.nn.sigmoid(logits)
     inter = jnp.sum(p * targets, axis=(-3, -2, -1))
     union = (jnp.sum(p, axis=(-3, -2, -1))
              + jnp.sum(targets, axis=(-3, -2, -1)) - inter)
-    return jnp.mean(1.0 - inter / jnp.maximum(union, 1.0))
+    return jnp.mean(1.0 - (inter + 1.0) / (union + 1.0))
 
 
 def birefnet_loss(params, cfg: BiRefNetConfig, batch: Dict[str, jnp.ndarray],
@@ -138,7 +144,10 @@ def place_birefnet_train_state(params, opt_state, batch, mesh,
         lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x,
         opt_state)
     sp = sp_axis if sp_axis in mesh.shape else None
+    # images/masks are canvases: batch over dp, canvas rows over sp. Any
+    # other batch entry (per-pixel weights, sample ids, ...) is plain
+    # batch-sharded over dp, matching train/step.place_train_state.
     spec = {"images": P(dp_axis, sp), "masks": P(dp_axis, sp)}
-    batch = {k: jax.device_put(v, NamedSharding(mesh, spec[k]))
+    batch = {k: jax.device_put(v, NamedSharding(mesh, spec.get(k, P(dp_axis))))
              for k, v in batch.items()}
     return params, opt_state, batch

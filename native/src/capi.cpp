@@ -704,9 +704,19 @@ dlimg_Result api_save_image(dlimg_ImageView const* img, char const* filepath) {
         }
     }
     if (std::getenv("DLIMG_PJRT_BUNDLE")) {
-        set_error("save_image: unsupported channel order for the native PNG "
-                  "encoder (mask/rgb/rgba); the Python codec fallback is "
-                  "disabled in PJRT serving mode");
+        // Two distinct failure modes reach here: supported channels but no
+        // native encoder compiled in (save_png returns false with err empty
+        // when built without libpng), vs a genuinely unsupported channel
+        // order. Blame the right one — an operator with a libpng-less build
+        // must not be sent off debugging channel layouts.
+        if (img->channels == 1 || img->channels == 3 || img->channels == 4)
+            set_error("save_image: native PNG encoder unavailable (built "
+                      "without libpng); the Python codec fallback is "
+                      "disabled in PJRT serving mode");
+        else
+            set_error("save_image: unsupported channel order for the native "
+                      "PNG encoder (mask/rgb/rgba); the Python codec "
+                      "fallback is disabled in PJRT serving mode");
         return dlimg_error;
     }
     if (!PyRuntime::get().ensure()) return dlimg_error;

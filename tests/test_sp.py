@@ -80,6 +80,28 @@ def test_encode_image_sp_matches_encode_image():
                                atol=2e-5, rtol=1e-5)
 
 
+def test_sp_parity_window_size_zero():
+    """window_size=0 (every block global in the dense path) must degrade
+    to one grid-sized window — not a ZeroDivisionError at trace time."""
+    cfg = SamViTConfig(img_size=128, patch_size=16, embed_dim=64, depth=2,
+                       num_heads=2, window_size=0, global_attn_indexes=(1,))
+    params = init_sam_vit(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 128, 128, 3)), jnp.float32)
+    ref = sam_vit_apply(params, x, cfg)
+    mesh = make_sp_mesh(2, devices=jax.devices("cpu"))
+    got = jax.jit(lambda p, im: sam_vit_apply_sp(p, im, cfg, mesh))(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_make_sp_mesh_rejects_too_few_devices():
+    """A smaller-than-requested mesh must fail loudly (a silent truncation
+    would let parity gates pass while exercising no parallelism)."""
+    with pytest.raises(ValueError, match="devices visible"):
+        make_sp_mesh(1024, devices=jax.devices("cpu"))
+
+
 def test_encode_image_sp_rejects_tinyvit():
     cfg = sam_lib.make_config("mobile_sam", image_size=64)
     params = {"encoder": {}}

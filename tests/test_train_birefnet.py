@@ -80,6 +80,39 @@ def test_finetuned_params_serve_unchanged(stepped):
     assert logits.dtype == jnp.float32
 
 
+def test_soft_iou_well_behaved_on_empty_masks():
+    """+1-smoothed soft IoU: a correct near-zero prediction on an empty
+    target must give ~0 loss (the unsmoothed ratio is 0/0; a denominator
+    clamp reports a constant 1 with no gradient for the right answer)."""
+    from dlimgedit_tpu.train.birefnet_step import _soft_iou_loss
+
+    logits = jnp.full((2, 16, 16, 1), -12.0)  # sigmoid ~ 6e-6: "empty"
+    targets = jnp.zeros((2, 16, 16, 1))
+    loss = float(_soft_iou_loss(logits, targets))
+    assert loss < 1e-2
+    # And a confident WRONG prediction on the same empty target stays ~1.
+    wrong = float(_soft_iou_loss(jnp.full((2, 16, 16, 1), 12.0), targets))
+    assert wrong > 0.9
+
+
+def test_place_state_accepts_extra_batch_keys():
+    """Entries beyond images/masks (per-sample weights, ids) are plain
+    dp-sharded, matching train/step.place_train_state's behaviour."""
+    from jax.sharding import Mesh
+
+    cfg, params, batch = _setup()
+    batch = dict(batch, weights=np.ones((2,), np.float32))
+    tcfg = BiRefNetTrainConfig()
+    opt_state = init_birefnet_train_state(params, tcfg)
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:2]).reshape(2, 1),
+                ("dp", "sp"))
+    with mesh:
+        _, _, placed = place_birefnet_train_state(
+            params, opt_state, batch, mesh)
+    assert set(placed) == {"images", "masks", "weights"}
+    assert placed["weights"].sharding.spec == jax.sharding.PartitionSpec("dp")
+
+
 def test_remat_identical_loss_and_grads():
     cfg, params, batch = _setup(seed=1)
     grad = jax.value_and_grad(birefnet_loss, has_aux=True)  # eager
