@@ -1,11 +1,15 @@
 """Image file I/O.
 
 Mirrors the reference's stb-backed codecs
-(/root/reference/src/image.cpp:11-35): load PNG/JPEG/BMP/TGA with channel
-validation {1,3,4}, save PNG (mask/rgb/rgba only).
+(/root/reference/src/image.cpp:11-35): load any stb-readable container
+(PNG/JPEG/BMP/TGA/PNM/GIF/PSD/HDR) with channel validation {1,3,4}, save
+PNG (mask/rgb/rgba only).
 
-The Python tier uses Pillow; the native C shim (native/) routes through the
-same functions so codec behaviour is identical across both entry points.
+The Python tier uses Pillow, plus a built-in Radiance-HDR reader (Pillow
+has no HDR plugin; the conversion matches native/src/codecs.cpp's
+load_hdr — stb's LDR defaults, gamma 2.2 / scale 1). The native C shim
+(native/) decodes the same containers itself so codec behaviour is
+identical across both entry points.
 """
 
 from __future__ import annotations
@@ -16,8 +20,78 @@ from ..errors import DlimgError, UnsupportedImageError
 from ..types import Channels, Extent, Image, ImageView, channel_count
 
 
+def _load_hdr(filepath: str) -> np.ndarray:
+    """Radiance RGBE (.hdr) -> (h, w, 3) uint8 with stb's hdr_to_ldr
+    conversion: v = c * 2^(e-136), ldr = clip(v^(1/2.2) * 255 + 0.5).
+    Same container support as native/src/codecs.cpp load_hdr (flat +
+    new-style RLE scanlines; -Y +X orientation)."""
+    with open(filepath, "rb") as f:
+        sig = f.readline()
+        if not (sig.startswith(b"#?RADIANCE") or sig.startswith(b"#?RGBE")):
+            raise DlimgError(f"{filepath}: not a Radiance HDR file")
+        fmt_ok = False
+        while True:
+            line = f.readline()
+            if not line:
+                raise DlimgError(f"{filepath}: truncated HDR header")
+            if line in (b"\n", b"\r\n"):
+                break
+            if line.startswith(b"FORMAT=32-bit_rle_rgbe"):
+                fmt_ok = True
+        res = f.readline().split()
+        if not fmt_ok or len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+            raise DlimgError(f"{filepath}: unsupported HDR layout")
+        h, w = int(res[1]), int(res[3])
+        rgbe = np.empty((h, w, 4), np.uint8)
+        data = f.read()
+    pos = 0
+    for y in range(h):
+        if pos + 4 > len(data):
+            raise DlimgError(f"{filepath}: truncated HDR scanline")
+        hd = data[pos:pos + 4]
+        if 8 <= w < 32768 and hd[0] == 2 and hd[1] == 2 and not hd[2] & 0x80:
+            if (hd[2] << 8 | hd[3]) != w:
+                raise DlimgError(f"{filepath}: HDR scanline length mismatch")
+            pos += 4
+            for k in range(4):
+                x = 0
+                while x < w:
+                    if pos >= len(data):
+                        raise DlimgError(f"{filepath}: truncated HDR rle")
+                    cnt = data[pos]
+                    pos += 1
+                    if cnt > 128:  # run
+                        run = cnt - 128
+                        if pos >= len(data) or x + run > w:
+                            raise DlimgError(f"{filepath}: bad HDR rle run")
+                        rgbe[y, x:x + run, k] = data[pos]
+                        pos += 1
+                        x += run
+                    else:  # literals
+                        if cnt == 0 or x + cnt > w or pos + cnt > len(data):
+                            raise DlimgError(f"{filepath}: bad HDR rle")
+                        rgbe[y, x:x + cnt, k] = np.frombuffer(
+                            data, np.uint8, cnt, pos)
+                        pos += cnt
+                        x += cnt
+        else:  # flat RGBE (old-style run markers not seen in the wild for
+            # flat-width files Pillow-free users produce; native handles them)
+            need = w * 4
+            if pos + need > len(data):
+                raise DlimgError(f"{filepath}: truncated HDR scanline")
+            rgbe[y] = np.frombuffer(data, np.uint8, need, pos).reshape(w, 4)
+            pos += need
+    c = rgbe[:, :, :3].astype(np.float64)
+    e = rgbe[:, :, 3:].astype(np.int32)
+    v = c * np.exp2(e - 136.0)
+    ldr = np.clip(np.power(v, 1.0 / 2.2) * 255.0 + 0.5, 0, 255)
+    ldr[(c == 0) | (e == 0)] = 0
+    return ldr.astype(np.uint8)
+
+
 def load_image(filepath: str) -> Image:
-    """Load an image file. Supported formats: PNG, JPEG, BMP, TGA.
+    """Load an image file. Supported containers match the reference's stb
+    loader: PNG, JPEG, BMP, TGA, PNM, GIF (first frame), PSD, HDR.
 
     Matches image.cpp:11-23 — keeps the file's native channel count and
     rejects anything other than 1/3/4 channels.
@@ -27,10 +101,22 @@ def load_image(filepath: str) -> Image:
     except ImportError as e:  # pragma: no cover
         raise DlimgError("No image codec available (Pillow not installed)") from e
     try:
+        with open(filepath, "rb") as probe:
+            if probe.read(2) == b"#?":  # Radiance HDR: no Pillow plugin
+                arr = _load_hdr(filepath)
+                h, w = arr.shape[:2]
+                return Image(Extent(w, h), Channels.rgb, arr)
+    except OSError as e:
+        raise DlimgError(f"Failed to load image {filepath}: {e}") from e
+    try:
         with PILImage.open(filepath) as im:
             # Keep native channels like stbi_load(..., desired_channels=0):
             # palette images decode to their underlying mode's channel count.
-            if im.mode == "P":
+            # GIF and PSD always decode to RGBA in stb (and in the native
+            # shim, codecs.cpp) — match that so both tiers agree on shape.
+            if im.format in ("GIF", "PSD"):
+                im = im.convert("RGBA")
+            elif im.mode == "P":
                 im = im.convert("RGBA" if "transparency" in im.info else "RGB")
             elif im.mode in ("I", "I;16", "I;16B", "I;16L", "I;16N"):
                 # 16/32-bit integer grays: stb's 16->8 semantics keep the

@@ -67,6 +67,101 @@ int main() {
         std::puts("jpeg: decoded truck.jpg natively");
     }
 
+    // --- built-in PNM / GIF / PSD / HDR decoders (stb container parity) ---
+    auto write_file = [](char const* path, std::initializer_list<int> bytes) {
+        std::FILE* o = std::fopen(path, "wb");
+        if (!o) return false;
+        for (int b : bytes) std::fputc(b, o);
+        std::fclose(o);
+        return true;
+    };
+    auto load_ok = [&](char const* path, int ew, int eh, int ec,
+                       uint8_t** out) {
+        int extent[2] = {0, 0}, channels = 0;
+        if (api->load_image(path, extent, &channels, out) != dlimg_success) {
+            std::fprintf(stderr, "load %s: %s\n", path, api->last_error());
+            return false;
+        }
+        return extent[0] == ew && extent[1] == eh && channels == ec;
+    };
+    {
+        // P6, 2x2, with a header comment.
+        char const* p = "/tmp/dlimg_codec.ppm";
+        CHECK(write_file(p, {'P', '6', '\n', '#', 'c', '\n', '2', ' ', '2',
+                             '\n', '2', '5', '5', '\n',  //
+                             1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12}));
+        uint8_t* px = nullptr;
+        CHECK(load_ok(p, 2, 2, 3, &px));
+        for (int i = 0; i < 12; ++i) CHECK(px[i] == i + 1);
+        api->destroy_image(px);
+        std::remove(p);
+
+        // P5 16-bit: big-endian samples narrow to the high byte.
+        p = "/tmp/dlimg_codec.pgm";
+        CHECK(write_file(p, {'P', '5', ' ', '2', ' ', '1', ' ', '6', '5', '5',
+                             '3', '5', '\n', 0xAB, 0xCD, 0x12, 0x34}));
+        CHECK(load_ok(p, 2, 1, 1, &px));
+        CHECK(px[0] == 0xAB && px[1] == 0x12);
+        api->destroy_image(px);
+        std::remove(p);
+    }
+    {
+        // GIF 2x2, 2-colour global palette, indices {0,1,1,0}; hand-packed
+        // LZW (min code 2): clear,0,1,1,0,end with the width bump to 4 bits
+        // after the table fills to 8 entries.
+        char const* p = "/tmp/dlimg_codec.gif";
+        CHECK(write_file(
+            p, {'G', 'I', 'F', '8', '9', 'a', 2, 0, 2, 0, 0x80, 0, 0,  //
+                10, 20, 30, 200, 150, 100,                 // palette
+                0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0,           // image descriptor
+                2, 3, 0x44, 0x02, 0x05, 0,                 // LZW data
+                0x3B}));
+        uint8_t* px = nullptr;
+        CHECK(load_ok(p, 2, 2, 4, &px));
+        uint8_t const want[16] = {10, 20, 30, 255, 200, 150, 100, 255,
+                                  200, 150, 100, 255, 10, 20, 30, 255};
+        CHECK(std::memcmp(px, want, 16) == 0);
+        api->destroy_image(px);
+        std::remove(p);
+    }
+    {
+        // PSD raw 8-bit RGB 2x2 (planar), alpha filled with 255.
+        char const* p = "/tmp/dlimg_codec.psd";
+        CHECK(write_file(
+            p, {'8', 'B', 'P', 'S', 0, 1, 0, 0, 0, 0, 0, 0,  // sig+ver+resv
+                0, 3,                                          // channels
+                0, 0, 0, 2, 0, 0, 0, 2,                        // h, w
+                0, 8, 0, 3,                                    // depth, RGB
+                0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,            // 3 sections
+                0, 0,                                          // raw
+                1, 2, 3, 4, 11, 12, 13, 14, 21, 22, 23, 24})); // R,G,B planes
+        uint8_t* px = nullptr;
+        CHECK(load_ok(p, 2, 2, 4, &px));
+        uint8_t const want[16] = {1, 11, 21, 255, 2, 12, 22, 255,
+                                  3, 13, 23, 255, 4, 14, 24, 255};
+        CHECK(std::memcmp(px, want, 16) == 0);
+        api->destroy_image(px);
+        std::remove(p);
+    }
+    {
+        // HDR flat RGBE 2x1: (128,128,128,e=129) == 1.0 -> 255 after the
+        // gamma-2.2 LDR conversion; zero exponent -> 0.
+        char const* p = "/tmp/dlimg_codec.hdr";
+        std::FILE* o = std::fopen(p, "wb");
+        CHECK(o != nullptr);
+        std::fputs("#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 1 +X 2\n", o);
+        uint8_t const rgbe[8] = {128, 128, 128, 129, 0, 0, 0, 0};
+        std::fwrite(rgbe, 1, 8, o);
+        std::fclose(o);
+        uint8_t* px = nullptr;
+        CHECK(load_ok(p, 2, 1, 3, &px));
+        CHECK(px[0] == 255 && px[1] == 255 && px[2] == 255);
+        CHECK(px[3] == 0 && px[4] == 0 && px[5] == 0);
+        api->destroy_image(px);
+        std::remove(p);
+        std::puts("pnm/gif/psd/hdr: built-in decoders exact");
+    }
+
     // --- error path -------------------------------------------------------
     {
         int extent[2], channels;
@@ -150,6 +245,52 @@ int main() {
         try_load(junk, sizeof junk);
         junk[0] = 0xFF; junk[1] = 0xD8; junk[2] = 0xFF; junk[3] = 0xE0;
         try_load(junk, sizeof junk);
+        // Built-in decoders (PNM/GIF/PSD/HDR): magic-prefixed garbage plus
+        // truncations and bit-flips of the valid encodes from above — these
+        // run OUR parsing code, not a system library's.
+        {
+            char const* magics[] = {"P6 ", "GIF8", "8BPS", "#?RADIANCE\n"};
+            for (auto m : magics) {
+                std::memcpy(junk, m, std::strlen(m));
+                try_load(junk, sizeof junk);
+            }
+            uint8_t const gif[] = {'G', 'I', 'F', '8', '9', 'a', 2, 0, 2, 0,
+                                   0x80, 0, 0, 10, 20, 30, 200, 150, 100,
+                                   0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0,
+                                   2, 3, 0x44, 0x02, 0x05, 0, 0x3B};
+            uint8_t const psd[] = {'8', 'B', 'P', 'S', 0, 1, 0, 0, 0, 0, 0,
+                                   0, 0, 3, 0, 0, 0, 2, 0, 0, 0, 2, 0, 8,
+                                   0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                   0, 0, 0, 1, 2, 3, 4, 11, 12, 13, 14, 21,
+                                   22, 23, 24};
+            uint8_t const pnm[] = {'P', '6', ' ', '2', ' ', '2', ' ', '2',
+                                   '5', '5', '\n', 1, 2, 3, 4, 5, 6, 7, 8,
+                                   9, 10, 11, 12};
+            uint8_t hdr_buf[64];
+            size_t hdr_n = 0;
+            {
+                char const* head =
+                    "#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 1 +X 2\n";
+                std::memcpy(hdr_buf, head, std::strlen(head));
+                hdr_n = std::strlen(head);
+                uint8_t const rgbe[8] = {128, 128, 128, 129, 0, 0, 0, 0};
+                std::memcpy(hdr_buf + hdr_n, rgbe, 8);
+                hdr_n += 8;
+            }
+            struct { uint8_t const* d; size_t n; } cases[] = {
+                {gif, sizeof gif}, {psd, sizeof psd}, {pnm, sizeof pnm},
+                {hdr_buf, hdr_n}};
+            for (auto const& cse : cases) {
+                for (size_t len = 1; len < cse.n; ++len)  // every truncation
+                    try_load(cse.d, len);
+                for (int i = 0; i < 64; ++i) {  // single-byte corruptions
+                    uint8_t tmp[128];
+                    std::memcpy(tmp, cse.d, cse.n);
+                    tmp[next() % cse.n] ^= uint8_t(1u << (next() % 8));
+                    try_load(tmp, cse.n);
+                }
+            }
+        }
         CHECK(rejected > 0);  // truncations can't all decode
         std::printf("fuzz: %d decoded / %d rejected, no crash\n", decoded,
                     rejected);

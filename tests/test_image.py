@@ -249,3 +249,73 @@ def test_load_mode_I_32bit_tiff_scales_consistently(tmp_path):
         np.testing.assert_array_equal(
             loaded.pixels[:, :, 0],
             np.clip(frame >> 24, 0, 255).astype(np.uint8))
+
+
+# --- stb container parity: GIF/PSD/PNM/HDR (image.cpp:11-23 accepts any
+# stb-readable container; both our tiers must agree on shapes/values) -------
+
+
+def test_load_gif_is_rgba(tmp_path):
+    """GIF decodes to RGBA in stb and the native shim; the Python tier must
+    agree even for fully opaque files."""
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(5)
+    arr = (rng.integers(0, 4, (6, 7), dtype=np.uint8) * 60)
+    rgb = np.stack([arr, arr // 2, 255 - arr], axis=-1)
+    p = tmp_path / "img.gif"
+    PILImage.fromarray(rgb).save(p)
+    img = load_image(str(p))
+    assert img.channels == Channels.rgba
+    ref = np.asarray(PILImage.open(p).convert("RGBA"))
+    np.testing.assert_array_equal(img.pixels, ref)
+
+
+def test_load_pnm(tmp_path):
+    p = tmp_path / "img.ppm"
+    rng = np.random.default_rng(6)
+    arr = np.ascontiguousarray(rng.integers(0, 256, (4, 5, 3), np.uint8))
+    from PIL import Image as PILImage
+
+    PILImage.fromarray(arr).save(p)
+    img = load_image(str(p))
+    assert img.channels == Channels.rgb
+    np.testing.assert_array_equal(img.pixels, arr)
+
+
+def test_load_hdr_matches_stb_conversion(tmp_path):
+    """Built-in Radiance reader (Pillow has no HDR plugin): RGBE with stb's
+    LDR defaults — v = c * 2^(e-136), gamma 2.2 — same as the native shim's
+    load_hdr (pinned there by test_native_abi.test_native_hdr_decode)."""
+    w = 8
+    data = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y 2 +X {w}\n".encode()
+    # Row 0: new-style RLE runs; row 1: literals.
+    data += bytes([2, 2, 0, w])
+    for v in (128, 64, 0, 129):
+        data += bytes([128 + w, v])
+    data += bytes([2, 2, 0, w])
+    for v in (200, 10, 255, 128):
+        data += bytes([w]) + bytes([v]) * w
+    p = tmp_path / "img.hdr"
+    p.write_bytes(data)
+    img = load_image(str(p))
+    assert img.channels == Channels.rgb
+    assert img.extent == Extent(w, 2)
+
+    def ldr(c, e):
+        if c == 0 or e == 0:
+            return 0
+        return int(np.clip((c * 2.0 ** (e - 136)) ** (1 / 2.2) * 255 + 0.5,
+                           0, 255))
+
+    np.testing.assert_array_equal(
+        img.pixels[0, 0], [ldr(128, 129), ldr(64, 129), ldr(0, 129)])
+    np.testing.assert_array_equal(
+        img.pixels[1, 3], [ldr(200, 128), ldr(10, 128), ldr(255, 128)])
+
+
+def test_load_truncated_hdr_raises(tmp_path):
+    p = tmp_path / "bad.hdr"
+    p.write_bytes(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 4 +X 16\n\x02\x02")
+    with pytest.raises(Exception, match="truncated|Failed"):
+        load_image(str(p))

@@ -258,6 +258,122 @@ def test_native_cmyk_jpeg_decodes_to_rgb(api, tmp_path):
     assert np.abs(mine.astype(int) - ref.astype(int)).max() <= 1
 
 
+@pytest.mark.parametrize("channels", [1, 3])
+def test_native_pnm_decode_matches_pillow(api, tmp_path, channels):
+    """Built-in binary PGM/PPM reader vs Pillow's encoder (lossless)."""
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(channels)
+    arr = np.ascontiguousarray(
+        rng.integers(0, 256, (7, 9, channels), dtype=np.uint8))
+    path = tmp_path / ("img.pgm" if channels == 1 else "img.ppm")
+    PILImage.fromarray(arr if channels > 1 else arr[:, :, 0]).save(path)
+    mine = _native_load(api, str(path).encode())
+    np.testing.assert_array_equal(mine, arr)
+
+
+def test_native_gif_decode_matches_pillow(api, tmp_path):
+    """Built-in GIF reader (first frame, RGBA like stbi_load) vs Pillow
+    decoding the same palettized file."""
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(3)
+    # Palette-limited content so GIF quantization is exact.
+    arr = (rng.integers(0, 4, (12, 10), dtype=np.uint8) * 80)
+    rgb = np.stack([arr, 255 - arr, arr // 2], axis=-1)
+    path = tmp_path / "img.gif"
+    PILImage.fromarray(rgb).save(path)
+    mine = _native_load(api, str(path).encode())
+    ref = np.asarray(PILImage.open(path).convert("RGBA"))
+    assert mine.shape == ref.shape == (12, 10, 4)
+    np.testing.assert_array_equal(mine, ref)
+
+
+def test_native_gif_transparency(api, tmp_path):
+    """Transparent palette index -> alpha 0 over the cleared canvas (the
+    stb first-frame convention)."""
+    from PIL import Image as PILImage
+
+    idx = np.zeros((6, 6), np.uint8)
+    idx[2:4, 2:4] = 1
+    pal_img = PILImage.fromarray(idx, mode="P")
+    pal_img.putpalette([10, 20, 30, 200, 150, 100] + [0] * (254 * 3))
+    path = tmp_path / "transparent.gif"
+    pal_img.save(path, transparency=1)
+    mine = _native_load(api, str(path).encode())
+    assert mine.shape == (6, 6, 4)
+    inner = mine[2:4, 2:4]
+    np.testing.assert_array_equal(inner[..., 3], 0)
+    outer_alpha = mine[..., 3].copy()
+    outer_alpha[2:4, 2:4] = 255
+    np.testing.assert_array_equal(outer_alpha, 255)
+    np.testing.assert_array_equal(mine[0, 0], [10, 20, 30, 255])
+
+
+def test_native_psd_decode_matches_pillow(api, tmp_path):
+    """Built-in PSD reader (RGB composite, raw + RLE) vs Pillow reading the
+    same handcrafted files. Always RGBA (alpha 255 when absent), like stb."""
+    import struct
+
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(11)
+    arr = np.ascontiguousarray(rng.integers(0, 256, (5, 6, 3),
+                                            dtype=np.uint8))
+    h, w = arr.shape[:2]
+
+    def psd_bytes(compression):
+        head = b"8BPS" + struct.pack(">H6xHIIHH", 1, 3, h, w, 8, 3)
+        head += struct.pack(">I", 0) * 3  # empty sections
+        planes = [arr[:, :, c].tobytes() for c in range(3)]
+        if compression == 0:
+            return head + struct.pack(">H", 0) + b"".join(planes)
+        # RLE: all-literal PackBits rows (w <= 128).
+        rows, table = [], []
+        for c in range(3):
+            for y in range(h):
+                row = bytes([w - 1]) + arr[y, :, c].tobytes()
+                rows.append(row)
+                table.append(struct.pack(">H", len(row)))
+        return (head + struct.pack(">H", 1) + b"".join(table)
+                + b"".join(rows))
+
+    for compression in (0, 1):
+        path = tmp_path / f"img_{compression}.psd"
+        path.write_bytes(psd_bytes(compression))
+        mine = _native_load(api, str(path).encode())
+        assert mine.shape == (h, w, 4)
+        np.testing.assert_array_equal(mine[:, :, :3], arr)
+        np.testing.assert_array_equal(mine[:, :, 3], 255)
+        ref = np.asarray(PILImage.open(path).convert("RGB"))
+        np.testing.assert_array_equal(mine[:, :, :3], ref)
+
+
+def test_native_hdr_decode(api, tmp_path):
+    """Built-in Radiance HDR reader: RGBE -> stb's LDR conversion
+    (c * 2^(e-136), gamma 2.2, scale 1), new-style RLE scanlines."""
+    path = tmp_path / "img.hdr"
+    w = 8
+    rgbe_r, rgbe_g, rgbe_b, rgbe_e = 128, 64, 0, 129
+    data = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y 1 +X {w}\n".encode()
+    data += bytes([2, 2, 0, w])  # new-style RLE header
+    for v in (rgbe_r, rgbe_g, rgbe_b, rgbe_e):
+        data += bytes([128 + w, v])  # one run per plane
+    path.write_bytes(data)
+    mine = _native_load(api, str(path).encode())
+    assert mine.shape == (1, w, 3)
+
+    def ldr(c, e):
+        if c == 0 or e == 0:
+            return 0
+        v = c * 2.0 ** (e - 136)
+        return int(np.clip(v ** (1 / 2.2) * 255 + 0.5, 0, 255))
+
+    want = [ldr(rgbe_r, rgbe_e), ldr(rgbe_g, rgbe_e), ldr(rgbe_b, rgbe_e)]
+    np.testing.assert_array_equal(mine[0, 0], want)
+    np.testing.assert_array_equal(mine, np.tile(want, (1, w, 1)))
+
+
 def test_create_destroy_image(api):
     p = api.create_image(8, 6, 4)
     assert p
