@@ -152,3 +152,23 @@ def test_latency_scaleout_runs(capsys):
     assert "sp mesh: {'sp': 4}" in text
     assert "max|sp - single|" in text
     assert "max|spatial - single|" in text
+
+
+def test_distill_encoder_runs(capsys):
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    from dlimgedit_tpu.models import sam as sam_lib
+    from dlimgedit_tpu.models.vit_sam import SamViTConfig
+
+    teacher_cfg = sam_lib.SamConfig(
+        variant="vit_b", image_size=64,
+        encoder_vit=SamViTConfig(img_size=64, patch_size=16, embed_dim=64,
+                                 depth=2, num_heads=2, window_size=4,
+                                 global_attn_indexes=(1,)))
+    teacher = sam_lib.init_sam(jax.random.PRNGKey(0), teacher_cfg)
+    mod = _load_example("distill_encoder")
+    mod.main(devices=devs[:4], teacher_cfg=teacher_cfg, teacher=teacher,
+             n_steps=2)
+    text = capsys.readouterr().out
+    assert "step 1: mse" in text and "grafted student serves" in text
