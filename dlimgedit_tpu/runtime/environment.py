@@ -169,6 +169,23 @@ class Environment:
             self._sizes_cache[key] = arr
         return arr
 
+    def floats_on_device(self, values: Tuple[float, ...]):
+        """Device-resident float32 constants vector, cached per value tuple
+        (same rationale + locking as sizes_on_device; used for traced
+        threshold vectors such as generate_masks')."""
+        key = ("f32",) + tuple(float(v) for v in values)
+        with self._exec_lock:
+            hit = self._sizes_cache.get(key)
+            if hit is not None:
+                return hit
+        arr = jax.device_put(np.asarray(key[1:], np.float32),
+                             self.put_target)
+        with self._exec_lock:
+            if len(self._sizes_cache) >= 256:
+                self._sizes_cache.pop(next(iter(self._sizes_cache)))
+            self._sizes_cache[key] = arr
+        return arr
+
     # -- model registry ------------------------------------------------------
 
     def sam_model(self, variant: str = "mobile_sam") -> SamModelBundle:

@@ -345,6 +345,31 @@ class Segmentation:
         return [Mask(self._to_mask_image(mask_u8[i]), float(iou[i]))
                 for i in range(n)]
 
+    def generate_masks(self, grid: int = 32, max_masks: int = 64,
+                       iou_thresh: float = 0.88,
+                       stability_thresh: float = 0.95,
+                       nms_thresh: float = 0.7,
+                       min_area_frac: float = 0.0,
+                       max_area_frac: float = 1.0) -> List[Mask]:
+        """Segment everything: masks for all objects, best-first.
+
+        The upstream-SAM automatic mask generator (point grid -> multimask
+        decode -> IoU/stability filtering -> greedy box NMS) reworked as one
+        XLA program against the cached embedding — one dispatch, one fetch
+        (runtime/amg.py; the reference has no counterpart).  Thresholds are
+        traced scalars: tuning them reuses the compiled executable.
+
+        grid: points per side of the prompt grid (grid^2 prompts, 3
+        candidate masks each).  max_masks: static output slots; fewer may
+        return.  Masks are sorted by predicted IoU (Mask.accuracy)."""
+        from .amg import generate_masks as _amg
+
+        return _amg(self, grid=grid, max_masks=max_masks,
+                    iou_thresh=iou_thresh,
+                    stability_thresh=stability_thresh,
+                    nms_thresh=nms_thresh, min_area_frac=min_area_frac,
+                    max_area_frac=max_area_frac)
+
 
 def segment_objects(img: Union[Image, ImageView], env: Environment) -> Image:
     """Dichotomous foreground segmentation (BiRefNet; dlimgedit.hpp:170-173)."""

@@ -1,0 +1,267 @@
+"""Automatic mask generation (segment everything) tests.
+
+Two tiers, mirroring the repo's test strategy:
+  * pure-op units: every device primitive in ops/amg.py against a numpy
+    oracle (boxes, IoU matrix, exact greedy NMS, stability, point grid);
+  * pipeline: Segmentation.generate_masks at tiny model resolution vs a
+    host-side numpy mirror of the WHOLE selection pipeline (filter -> sort
+    -> greedy NMS -> top-K) fed by the same per-point decodes, then
+    bit-exact mask reconstruction through the same upsample/pack path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlimgedit_tpu import (
+    Backend,
+    Channels,
+    Environment,
+    Extent,
+    Image,
+    Options,
+    Segmentation,
+)
+from dlimgedit_tpu.models import sam as sam_lib
+from dlimgedit_tpu.ops.amg import (
+    box_iou_matrix,
+    greedy_nms,
+    mask_boxes,
+    point_grid,
+    stability_scores,
+)
+from dlimgedit_tpu.ops.postprocess import (
+    pack_mask_bits,
+    unpack_mask_bits,
+    upsample_mask_logits,
+)
+
+# ---------------------------------------------------------------- op units
+
+
+def _np_box(binary):
+    ys, xs = np.nonzero(binary)
+    if len(xs) == 0:
+        L = binary.shape[-1]
+        return np.array([L, L, -1, -1], np.float32)
+    return np.array([xs.min(), ys.min(), xs.max(), ys.max()], np.float32)
+
+
+def test_mask_boxes_oracle():
+    rng = np.random.default_rng(0)
+    masks = rng.random((10, 12, 12)) > 0.8
+    masks[3] = False  # empty
+    masks[4] = False
+    masks[4, 7, 2] = True  # single pixel
+    got = np.asarray(mask_boxes(jnp.asarray(masks)))
+    for i in range(10):
+        np.testing.assert_array_equal(got[i], _np_box(masks[i]))
+
+
+def _np_iou(boxes):
+    n = len(boxes)
+    out = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for j in range(n):
+            ax0, ay0, ax1, ay1 = boxes[i]
+            bx0, by0, bx1, by1 = boxes[j]
+            a = max(ax1 - ax0 + 1, 0) * max(ay1 - ay0 + 1, 0)
+            b = max(bx1 - bx0 + 1, 0) * max(by1 - by0 + 1, 0)
+            iw = max(min(ax1, bx1) - max(ax0, bx0) + 1, 0)
+            ih = max(min(ay1, by1) - max(ay0, by0) + 1, 0)
+            inter = iw * ih
+            out[i, j] = inter / max(a + b - inter, 1)
+    return out
+
+
+def test_box_iou_matrix_oracle():
+    rng = np.random.default_rng(1)
+    x0 = rng.integers(0, 20, 16)
+    y0 = rng.integers(0, 20, 16)
+    boxes = np.stack([x0, y0, x0 + rng.integers(0, 15, 16),
+                      y0 + rng.integers(0, 15, 16)], -1).astype(np.float32)
+    boxes[5] = [12, 12, -1, -1]  # empty-mask box convention
+    got = np.asarray(box_iou_matrix(jnp.asarray(boxes)))
+    np.testing.assert_allclose(got, _np_iou(boxes), atol=1e-6)
+
+
+def _np_greedy_nms(boxes, scores, thresh):
+    """Reference sequential NMS (torchvision semantics) over sorted input."""
+    iou = _np_iou(boxes)
+    keep = scores > 0.0
+    for i in range(len(boxes)):
+        if not keep[i]:
+            continue
+        for j in range(i + 1, len(boxes)):
+            if keep[j] and iou[i, j] > thresh:
+                keep[j] = False
+    return keep
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_greedy_nms_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n = 48
+    x0 = rng.integers(0, 30, n)
+    y0 = rng.integers(0, 30, n)
+    boxes = np.stack([x0, y0, x0 + rng.integers(1, 20, n),
+                      y0 + rng.integers(1, 20, n)], -1).astype(np.float32)
+    scores = np.sort(rng.random(n).astype(np.float32))[::-1].copy()
+    scores[-8:] = -1.0  # invalid tail (post-filter candidates)
+    got = np.asarray(greedy_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.3))
+    np.testing.assert_array_equal(got, _np_greedy_nms(boxes, scores, 0.3))
+
+
+def test_stability_scores_oracle():
+    rng = np.random.default_rng(3)
+    logits = rng.normal(0, 2, (5, 8, 8)).astype(np.float32)
+    valid = np.zeros((8, 8), bool)
+    valid[:6, :5] = True
+    got = np.asarray(stability_scores(jnp.asarray(logits),
+                                      jnp.asarray(valid)))
+    for i in range(5):
+        hi = np.sum((logits[i] > 1.0) & valid)
+        lo = np.sum((logits[i] > -1.0) & valid)
+        np.testing.assert_allclose(got[i], hi / max(lo, 1), atol=1e-6)
+
+
+def test_point_grid_centres():
+    got = np.asarray(point_grid(2, jnp.float32(100.0), jnp.float32(60.0)))
+    exp = np.array([[25, 15], [75, 15], [25, 45], [75, 45]], np.float32)
+    np.testing.assert_allclose(got, exp)
+
+
+# ---------------------------------------------------------------- pipeline
+
+
+@pytest.fixture(scope="module")
+def env():
+    return Environment(Options(
+        backend=Backend.cpu,
+        allow_random_weights=True,
+        compute_dtype="float32",
+        sam_image_size=64,  # L = 16 low-res mask grid: fast CPU compile
+    ))
+
+
+@pytest.fixture(scope="module")
+def seg(env):
+    rng = np.random.default_rng(0)
+    img = Image(Extent(96, 64), Channels.rgba,
+                rng.integers(0, 256, (64, 96, 4), dtype=np.uint8))
+    return Segmentation.process(img, env)
+
+
+def _oracle_candidates(env, seg, grid):
+    """Per-candidate (iou, stability, area, box, low-res logits) via direct
+    decodes — the numpy mirror of pass A."""
+    bundle = env.sam_model("mobile_sam")
+    cfg = bundle.cfg
+    L = cfg.mask_input_size
+    crop_h, crop_w = seg._crop
+    pts = np.asarray(point_grid(grid, jnp.float32(crop_w),
+                                jnp.float32(crop_h)))
+    centre = (np.arange(L, dtype=np.float32) + 0.5) * (cfg.image_size / L)
+    valid = (centre[:, None] < crop_h) & (centre[None, :] < crop_w)
+
+    decode = jax.jit(lambda pc, pl: sam_lib.decode_masks(
+        bundle.params, cfg, seg._embedding, pc, pl, multimask=True))
+    m_all, iou_all = [], []
+    for p in pts:
+        pc = np.zeros((1, 2, 2), np.float32)
+        pc[0, 0] = p
+        pl = np.array([[1.0, -1.0]], np.float32)
+        m, iou = jax.device_get(decode(pc, pl))
+        m_all.append(m[0, 1:4])
+        iou_all.append(iou[0, 1:4])
+    m = np.concatenate(m_all)          # (3G, L, L) f32 logits
+    iou = np.concatenate(iou_all).astype(np.float32)
+    binary = (m > 0) & valid
+    area = binary.sum(axis=(-1, -2)).astype(np.float32)
+    hi = ((m > 1.0) & valid).sum(axis=(-1, -2))
+    lo = ((m > -1.0) & valid).sum(axis=(-1, -2))
+    stab = (hi.astype(np.float32)
+            / np.maximum(lo, 1).astype(np.float32))
+    boxes = np.stack([_np_box(b) for b in binary])
+    return m, iou, stab, area, boxes, valid
+
+
+def _gap_threshold(values, q):
+    """A threshold at the midpoint of a gap near quantile q — robust to
+    f32-vs-f64 rounding between device and oracle."""
+    s = np.unique(np.sort(values))
+    if len(s) < 2:
+        return float(s[0]) - 0.5
+    k = int(np.clip(q * (len(s) - 1), 0, len(s) - 2))
+    return float((s[k] + s[k + 1]) / 2)
+
+
+def test_generate_masks_matches_oracle(env, seg):
+    grid = 4
+    m, iou, stab, area, boxes, valid = _oracle_candidates(env, seg, grid)
+    # Thresholds at gaps of the empirical distributions: no candidate sits
+    # on a boundary, so tiny cross-backend numeric drift cannot flip the
+    # filter.
+    iou_t = _gap_threshold(iou, 0.3)
+    stab_t = _gap_threshold(stab, 0.3)
+    nms_t = 0.5
+    ok = (iou >= iou_t) & (stab >= stab_t) & (area >= 1.0)
+    score = np.where(ok, iou, -1.0).astype(np.float32)
+    order = np.argsort(-score, kind="stable")
+    keep = _np_greedy_nms(boxes[order], score[order], nms_t)
+    kept = order[keep]
+    kept = kept[np.argsort(-score[kept], kind="stable")]
+
+    max_masks = 8
+    got = seg.generate_masks(grid=grid, max_masks=max_masks,
+                             iou_thresh=iou_t, stability_thresh=stab_t,
+                             nms_thresh=nms_t)
+    exp = kept[:max_masks]
+    assert len(got) == len(exp)
+    np.testing.assert_allclose([g.accuracy for g in got], iou[exp],
+                               atol=2e-5)
+    # Masks reconstruct bit-exactly through the same upsample/pack path.
+    bucket = 256  # pick_bucket(96x64): smallest canvas bucket
+    for g, cand in zip(got, exp):
+        logits = upsample_mask_logits(
+            jnp.asarray(m[cand])[None, None], bucket, env.options.sam_image_size,
+            seg._original.height, seg._original.width,
+            seg._crop[0], seg._crop[1])
+        packed = np.asarray(pack_mask_bits(logits)[0]).reshape(
+            1, bucket, bucket // 8)
+        expect = unpack_mask_bits(packed[:, :seg._original.height, :],
+                                  bucket)[0][:seg._original.height,
+                                             :seg._original.width]
+        np.testing.assert_array_equal(
+            np.asarray(g.image.pixels).squeeze(), expect)
+
+
+def test_generate_masks_basics(env, seg):
+    got = seg.generate_masks(grid=4, max_masks=4, iou_thresh=0.0,
+                             stability_thresh=0.0)
+    assert 1 <= len(got) <= 4
+    accs = [g.accuracy for g in got]
+    assert accs == sorted(accs, reverse=True)
+    for g in got:
+        px = np.asarray(g.image.pixels)
+        assert g.image.extent == seg.extent
+        assert set(np.unique(px)) <= {0, 255}
+        assert px.any()  # area filter drops empty masks
+    # Deterministic.
+    again = seg.generate_masks(grid=4, max_masks=4, iou_thresh=0.0,
+                               stability_thresh=0.0)
+    assert len(again) == len(got)
+    for a, b in zip(got, again):
+        np.testing.assert_array_equal(np.asarray(a.image.pixels),
+                                      np.asarray(b.image.pixels))
+
+
+def test_generate_masks_threshold_change_reuses_executable(env, seg):
+    seg.generate_masks(grid=4, max_masks=4, iou_thresh=0.0)
+    n0 = len(env._executables)
+    seg.generate_masks(grid=4, max_masks=4, iou_thresh=0.5,
+                       stability_thresh=0.2, nms_thresh=0.9)
+    assert len(env._executables) == n0  # thresholds are traced, not static
+    seg.generate_masks(grid=2, max_masks=4)
+    assert len(env._executables) == n0 + 1  # grid IS static

@@ -69,6 +69,18 @@ def test_interactive_segmentation_runs(tmp_path, capsys):
     assert "candidate 2" in text and "batched 3 prompts" in text
 
 
+def test_generate_masks_runs(tmp_path, capsys):
+    mod = _load_example("generate_masks")
+    src = _tiny_png(tmp_path)
+    out_dir = tmp_path / "masks"
+    mod.main(argv=[str(src), str(out_dir)], options=_tiny_options(),
+             grid=4, max_masks=4)
+    text = capsys.readouterr().out
+    assert "generated" in text
+    n = len(list(out_dir.glob("mask_*.png"))) if out_dir.exists() else 0
+    assert f"generated {n} masks" in text
+
+
 def test_foreground_extraction_runs(tmp_path):
     mod = _load_example("foreground_extraction")
     src = _tiny_png(tmp_path)

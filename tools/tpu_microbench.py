@@ -143,6 +143,55 @@ def cmd_encoders(dev, quant="none"):
     print(f"mask decode (single prompt): {ms:7.3f} ms", flush=True)
 
 
+def cmd_amg(dev, variant="mobile_sam", grid=32, max_masks=64):
+    """Automatic mask generation: device program time + e2e wall per image.
+
+    The whole segment-everything pipeline (grid^2 x 3 candidate decodes,
+    filters, exact greedy NMS, top-K re-decode + upsample + pack) is one
+    XLA program (runtime/amg.py); this prices it at real geometry."""
+    import dlimgedit_tpu as dl
+    from dlimgedit_tpu.ops.preprocess import pick_bucket
+    from dlimgedit_tpu.runtime.amg import _build_amg_fn, _chunk_size
+
+    backend = dl.Backend.tpu if dev.platform != "cpu" else dl.Backend.cpu
+    env = dl.Environment(dl.Options(
+        backend=backend, allow_random_weights=True,
+        compute_dtype="bfloat16", sam_variant=variant))
+    rng = np.random.default_rng(0)
+    img = dl.Image(dl.Extent(1024, 768), dl.Channels.rgba,
+                   rng.integers(0, 256, (768, 1024, 4), dtype=np.uint8))
+    seg = dl.Segmentation.process(img, env)
+
+    # e2e wall (dispatch + device + single packed fetch), warm.
+    seg.generate_masks(grid=grid, max_masks=max_masks, iou_thresh=0.0,
+                       stability_thresh=0.0)
+    walls = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        masks = seg.generate_masks(grid=grid, max_masks=max_masks,
+                                   iou_thresh=0.0, stability_thresh=0.0)
+        walls.append((time.perf_counter() - t0) * 1e3)
+    print(f"amg {variant} grid={grid} K={max_masks} e2e wall: "
+          f"{min(walls):7.1f} ms ({len(masks)} masks)", flush=True)
+
+    # Device-only program time via the two-point slope.
+    bundle = env.sam_model(variant)
+    bucket = pick_bucket(seg.extent)
+    G = grid * grid
+    prenms = min(3 * G, max(256, 4 * max_masks))
+    fn = _build_amg_fn(bundle, bucket, grid, max_masks, prenms,
+                       _chunk_size(G))
+    sizes = env.sizes_on_device((seg.extent.height, seg.extent.width,
+                                 seg._crop[0], seg._crop[1]))
+    thr = jax.device_put(np.asarray([0.0, 0.0, 0.7, 0.0, 1.0], np.float32),
+                         env.put_target)
+    ms = slope_ms(lambda p, e_, s, t, eps: fn(
+        p, e_ + eps.astype(e_.dtype), s, t)[0],
+        (bundle.params, seg.embedding, sizes, thr), n_chain=2)
+    print(f"amg {variant} grid={grid} K={max_masks} device program: "
+          f"{ms:7.1f} ms", flush=True)
+
+
 def cmd_batch(dev, quant="none", variant="mobile_sam"):
     """Batched encode/decode throughput; --quant w8|w8a8 quantises the
     encoder exactly the way the Environment does (scales from f32 weights,
@@ -718,7 +767,9 @@ def main(argv=None) -> int:
     ap.add_argument("command", choices=["encoders", "batch", "attention",
                                         "tinyvit-stages", "mfu", "birefnet",
                                         "birefnet-stages", "birefnet-l1",
-                                        "vit-prefix"])
+                                        "vit-prefix", "amg"])
+    ap.add_argument("--grid", type=int, default=32,
+                    help="amg: prompt-grid side (grid^2 points)")
     ap.add_argument("--res", type=int, default=1024,
                     help="birefnet-l1: canvas resolution (1024 or 2048)")
     ap.add_argument("--variant", default=None,
@@ -745,6 +796,9 @@ def main(argv=None) -> int:
         return 0
     if args.command == "birefnet-l1":
         cmd_birefnet_l1(dev, res=args.res)
+        return 0
+    if args.command == "amg":
+        cmd_amg(dev, variant=args.variant or "mobile_sam", grid=args.grid)
         return 0
     {"attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages,
      "birefnet": cmd_birefnet,
