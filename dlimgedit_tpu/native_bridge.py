@@ -18,6 +18,9 @@ comes from environment variables:
   DLIMG_SCALEOUT_DEVICES=0      — single-image latency scale-out over the
                                   backend's devices (Options.scaleout_devices:
                                   0 = all, 1 = off, N = that many)
+  DLIMG_AMG_GRID=16             — generate_masks prompt-grid side for the
+                                  embedded route (default 32; the serving
+                                  route uses the bundle's exported grid)
 """
 
 from __future__ import annotations
@@ -98,6 +101,27 @@ def compute_mask(seg: Segmentation, point, region, out_mask_ptrs,
         for i, m in enumerate(masks):
             write(out_mask_ptrs[i], m.image)
             acc[i] = m.accuracy
+
+
+def generate_masks(seg: Segmentation, iou_thresh: float,
+                   stability_thresh: float, nms_thresh: float,
+                   max_masks: int, out_mask_ptrs, out_acc_ptr: int) -> int:
+    """Automatic mask generation over the C ABI: writes up to max_masks
+    (w*h)-byte masks + accuracies into caller buffers, returns the count."""
+    w, h = seg.extent.width, seg.extent.height
+    grid = int(os.environ.get("DLIMG_AMG_GRID", "32"))
+    masks = seg.generate_masks(grid=grid, max_masks=max_masks,
+                               iou_thresh=iou_thresh,
+                               stability_thresh=stability_thresh,
+                               nms_thresh=nms_thresh)
+    acc = (ctypes.c_float * max_masks).from_address(out_acc_ptr) \
+        if out_acc_ptr else None
+    for i, m in enumerate(masks):
+        out = (ctypes.c_uint8 * (w * h)).from_address(out_mask_ptrs[i])
+        np.frombuffer(out, dtype=np.uint8)[:] = m.image.pixels.ravel()
+        if acc is not None:
+            acc[i] = m.accuracy
+    return len(masks)
 
 
 def run_segment_objects(env: Environment, ptr: int, width: int, height: int,

@@ -135,6 +135,9 @@ def generate_masks(seg, grid: int = 32, max_masks: int = 64,
     bucket = pick_bucket(seg._original)
     G = grid * grid
     chunk = _chunk_size(G)
+    # K cannot exceed the candidate pool (top_k k <= array length), and the
+    # pre-NMS pool must hold at least K winners.
+    max_masks = min(max_masks, 3 * G)
     prenms = min(3 * G, max(256, 4 * max_masks))
     fn = env.executable(
         ("amg", seg._variant, bucket, grid, max_masks, prenms),

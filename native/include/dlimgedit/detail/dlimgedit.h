@@ -90,6 +90,20 @@ struct dlimg_Api {
 
     /* Message for the most recent dlimg_error on this thread. */
     char const* (*last_error)(void);
+
+    /* -- Extensions past the reference-compatible prefix (append-only; a
+     * client built against the reference ABI never reads past last_error,
+     * so the 13-entry prefix above stays byte-compatible). -- */
+
+    /* Automatic mask generation ("segment everything"): every object mask
+     * of the processed image, best-first. thresholds: float[3] =
+     * {predicted-IoU min, stability min, NMS box-IoU max}. out_masks is
+     * uint8_t*[max_masks], each slot width*height bytes; out_accuracies
+     * float[max_masks]. Writes *out_count <= max_masks masks. */
+    dlimg_Result (*generate_masks)(dlimg_Segmentation,
+                                   float const* thresholds /*[3]*/,
+                                   int max_masks, uint8_t* const* out_masks,
+                                   float* out_accuracies, int* out_count);
 };
 
 DLIMG_API struct dlimg_Api const* dlimg_init(void);

@@ -17,6 +17,7 @@
 #include <exception>
 #include <string>
 #include <utility>
+#include <vector>
 #ifndef DLIMGEDIT_NO_FILESYSTEM
 #    include <filesystem>
 #endif
@@ -277,6 +278,34 @@ class Segmentation : public Handle<dlimg_Segmentation_> {
             detail::api().get_segmentation_mask(handle(), p, nullptr, masks,
                                                 acc));
         for (int i = 0; i < 3; ++i) {
+            result[i].accuracy = acc[i];
+        }
+        return result;
+    }
+
+    // Automatic mask generation ("segment everything"): every object mask
+    // of the image, sorted by predicted IoU. Runs as one on-device program
+    // (runtime/amg.py); requires a serving bundle exported with --amg in
+    // serving mode. Extension past the reference API.
+    std::vector<Mask> generate_masks(float iou_threshold = 0.88f,
+                                     float stability_threshold = 0.95f,
+                                     float nms_threshold = 0.7f,
+                                     int max_masks = 64) const {
+        auto e = extent();
+        std::vector<Mask> result;
+        result.reserve(max_masks);
+        std::vector<uint8_t*> ptrs(max_masks);
+        for (int i = 0; i < max_masks; ++i) {
+            result.push_back(Mask{Image(e, Channels::mask), 0.0f});
+            ptrs[i] = result.back().image.pixels();
+        }
+        std::vector<float> acc(max_masks, 0.0f);
+        float thr[3] = {iou_threshold, stability_threshold, nms_threshold};
+        int count = 0;
+        detail::throw_on_error(detail::api().generate_masks(
+            handle(), thr, max_masks, ptrs.data(), acc.data(), &count));
+        result.erase(result.begin() + count, result.end());
+        for (int i = 0; i < count; ++i) {
             result[i].accuracy = acc[i];
         }
         return result;

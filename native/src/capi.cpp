@@ -359,6 +359,71 @@ dlimg_Result pjrt_get_mask(dlimg_Segmentation seg, int const* point,
     return dlimg_success;
 }
 
+dlimg_Result pjrt_generate_masks(dlimg_Segmentation seg,
+                                 float const* thresholds, int max_out,
+                                 uint8_t* const* out_masks,
+                                 float* out_accuracies, int* out_count) {
+    auto* be = seg->pjrt;
+    int K = dlimg_pjrt::amg_masks(be);
+    if (K == 0) {
+        set_error("generate_masks: serving bundle exported without --amg "
+                  "(re-run tools/aot_export.py --program serving --amg "
+                  "grid:max_masks)");
+        return dlimg_error;
+    }
+    // Same 5-float traced threshold vector the Python runtime feeds
+    // (runtime/amg.py): iou, stability, nms, min/max area fraction.
+    float thr[5] = {thresholds[0], thresholds[1], thresholds[2], 0.0f, 1.0f};
+    int32_t sizes[4] = {seg->height, seg->width, seg->crop_h, seg->crop_w};
+    std::string name = "serve_amg_" + dlimg_pjrt::variant(be) + "_" +
+                       std::to_string(seg->bucket);
+    std::vector<dlimg_pjrt::Arg> args(3);
+    args[0].dev = seg->emb;
+    args[1].host = sizes;
+    args[1].dims = {4};
+    args[1].dtype = "int32";
+    args[2].host = thr;
+    args[2].dims = {5};
+    args[2].dtype = "float32";
+    std::vector<dlimg_pjrt::Buf*> outs;
+    std::string err;
+    if (!dlimg_pjrt::run(be, name, args, &outs, &err)) {
+        set_error(err);
+        return dlimg_error;
+    }
+    if (outs.size() < 4) {  // packed masks + score/stability/area expected
+        for (auto* o : outs) dlimg_pjrt::release(be, o);
+        set_error(name + ": amg program returned " +
+                  std::to_string(outs.size()) + " outputs, expected 4 "
+                  "(stale or mismatched serving bundle)");
+        return dlimg_error;
+    }
+    size_t row_bytes = size_t(seg->bucket) / 8;
+    std::vector<float> score(K);
+    std::vector<uint8_t> packed(size_t(K) * seg->bucket * row_bytes);
+    // Scores first (smallest fetch; relay first-fetch pathology), then the
+    // packed masks in one bulk copy.
+    bool ok = dlimg_pjrt::fetch(be, outs[1], score.data(),
+                                score.size() * sizeof(float), &err) &&
+              dlimg_pjrt::fetch(be, outs[0], packed.data(), packed.size(),
+                                &err);
+    for (auto* o : outs) dlimg_pjrt::release(be, o);
+    if (!ok) {
+        set_error(err);
+        return dlimg_error;
+    }
+    int n = 0;
+    // Scores are sorted descending; score <= 0 marks unused padding slots.
+    while (n < K && n < max_out && score[n] > 0.0f) ++n;
+    for (int i = 0; i < n; ++i) {
+        unpack_mask(packed.data() + size_t(i) * seg->bucket * row_bytes,
+                    seg->bucket, seg->height, seg->width, out_masks[i]);
+        if (out_accuracies) out_accuracies[i] = score[i];
+    }
+    *out_count = n;
+    return dlimg_success;
+}
+
 // segment_objects without Python: mirrors runtime/birefnet.py
 // birefnet_segment — kind escalation >1536 px (reference
 // segmentation.cpp:222-225), canvas pack, the exported BiRefNet program
@@ -586,6 +651,37 @@ dlimg_Result api_get_mask(dlimg_Segmentation seg, int const* point,
   });
 }
 
+dlimg_Result api_generate_masks(dlimg_Segmentation seg,
+                                float const* thresholds, int max_masks,
+                                uint8_t* const* out_masks,
+                                float* out_accuracies, int* out_count) {
+  return try_([&]() -> dlimg_Result {
+    if (!seg || !thresholds || !out_masks || !out_count || max_masks <= 0) {
+        set_error("generate_masks: invalid arguments");
+        return dlimg_error;
+    }
+    *out_count = 0;
+    if (seg->pjrt)
+        return pjrt_generate_masks(seg, thresholds, max_masks, out_masks,
+                                   out_accuracies, out_count);
+    Gil gil;
+    PyObject* ptrs = PyList_New(max_masks);
+    for (int i = 0; i < max_masks; ++i)
+        PyList_SetItem(ptrs, i,
+                       PyLong_FromUnsignedLongLong(
+                           (unsigned long long)(uintptr_t)out_masks[i]));
+    PyObject* r = bridge_call(
+        "generate_masks",
+        Py_BuildValue("(OfffiNK)", seg->obj, thresholds[0], thresholds[1],
+                      thresholds[2], max_masks, ptrs,
+                      (unsigned long long)(uintptr_t)out_accuracies));
+    if (!r) return dlimg_error;
+    *out_count = (int)PyLong_AsLong(r);
+    Py_DECREF(r);
+    return dlimg_success;
+  });
+}
+
 void api_get_extent(dlimg_Segmentation seg, int* out_extent) {
     out_extent[0] = seg->width;
     out_extent[1] = seg->height;
@@ -757,6 +853,7 @@ dlimg_Api const api_table = {
     api_create_image,
     api_destroy_image,
     api_last_error,
+    api_generate_masks,
 };
 
 }  // namespace

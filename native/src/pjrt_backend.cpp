@@ -106,6 +106,8 @@ struct Backend {
   int image_size_ = 1024;
   std::vector<int> buckets_;
   std::vector<BirefProgram> birefnet_;
+  int amg_grid_ = 0;   // 0 = bundle exported without --amg
+  int amg_masks_ = 0;
   std::map<std::string, Exec> execs;
   std::mutex mu;  // serializes run/fetch (PJRT is thread-safe, but the
                   // lazy exec map and error strings are simpler guarded)
@@ -115,6 +117,8 @@ const std::string& variant(Backend* b) { return b->variant_; }
 int image_size(Backend* b) { return b->image_size_; }
 const std::vector<int>& buckets(Backend* b) { return b->buckets_; }
 const std::vector<BirefProgram>& birefnet(Backend* b) { return b->birefnet_; }
+int amg_grid(Backend* b) { return b->amg_grid_; }
+int amg_masks(Backend* b) { return b->amg_masks_; }
 
 Backend* create(const std::string& bundle_dir, std::string* err) {
   auto be = std::make_unique<Backend>();
@@ -220,6 +224,12 @@ Backend* create(const std::string& bundle_dir, std::string* err) {
         std::string tok;
         while (std::getline(bs, tok, ','))
           be->buckets_.push_back(std::stoi(tok));
+      } else if (key == "amg") {
+        auto c = val.find(':');
+        if (c != std::string::npos) {
+          be->amg_grid_ = std::stoi(val.substr(0, c));
+          be->amg_masks_ = std::stoi(val.substr(c + 1));
+        }
       } else if (key == "birefnet") {
         // kind:bucket:resolution, comma-separated
         std::stringstream bs(val);

@@ -44,6 +44,14 @@ struct BirefProgram {
 };
 const std::vector<BirefProgram>& birefnet(Backend*);
 
+// Automatic-mask-generation program (exported with --amg grid:max_masks):
+// program name is serve_amg_<variant>_<bucket>; amg_grid() == 0 when the
+// bundle has none. Outputs: flat bit-packed masks (max_masks * bucket *
+// bucket/8 bytes), then per-mask score/stability/area (max_masks f32 each,
+// score descending; score <= 0 marks an unused slot).
+int amg_grid(Backend*);
+int amg_masks(Backend*);
+
 // Execute program `name` (lazy deserialize of <name>.pjrt). Outputs are
 // returned as device buffers; fetch() copies one to the host. Returns
 // false + err on failure.

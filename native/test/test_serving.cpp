@@ -220,6 +220,57 @@ int main() {
     }
   }
 
+  // Optional automatic-mask-generation leg (serving_check.py --amg):
+  // generate_masks through the PJRT path vs the Python pipeline's golden.
+  // Identical executable on both sides -> masks, count and accuracies are
+  // required bit-exact.
+  {
+    std::ifstream am(dir + "/meta_amg.txt");
+    float iou_t, stab_t, nms_t;
+    int amg_max;
+    if (am >> iou_t >> stab_t >> nms_t >> amg_max) {
+      std::string golden_amg = read_file(dir + "/golden_amg.raw");
+      std::string golden_acc = read_file(dir + "/golden_amg_acc.raw");
+      int want = int(golden_acc.size() / sizeof(float));
+      auto t5 = std::chrono::steady_clock::now();
+      auto gen = seg.generate_masks(iou_t, stab_t, nms_t, amg_max);
+      auto t6 = std::chrono::steady_clock::now();
+      std::printf("generate_masks %.1f ms (through the tunnel): %zu masks\n",
+                  std::chrono::duration<double, std::milli>(t6 - t5).count(),
+                  gen.size());
+      if (int(gen.size()) != want) {
+        std::fprintf(stderr, "FATAL: generate_masks count %zu != golden %d\n",
+                     gen.size(), want);
+        return 1;
+      }
+      if (golden_amg.size() != size_t(want) * n) {
+        std::fprintf(stderr, "FATAL: golden_amg size %zu != %zu\n",
+                     golden_amg.size(), size_t(want) * n);
+        return 1;
+      }
+      const float* want_acc =
+          reinterpret_cast<const float*>(golden_acc.data());
+      size_t da = 0;
+      float dacc = 0;
+      for (int m = 0; m < want; ++m) {
+        const uint8_t* g =
+            reinterpret_cast<const uint8_t*>(golden_amg.data()) +
+            size_t(m) * n;
+        for (size_t i = 0; i < n; ++i)
+          da += g[i] != gen[m].image.pixels()[i];
+        float d = gen[m].accuracy - want_acc[m];
+        if (d < 0) d = -d;
+        if (d > dacc) dacc = d;
+      }
+      std::printf("generate_masks vs golden: %zu/%zu pixels differ, "
+                  "max |acc d| = %g\n", da, size_t(want) * n, double(dacc));
+      if (da != 0 || dacc > 1e-6f) {
+        std::fprintf(stderr, "FATAL: generate_masks differs from golden\n");
+        return 1;
+      }
+    }
+  }
+
   // The library links libpython for the fallback bridge, but the serving
   // path must never have INITIALISED the interpreter (same assertion as
   // test_codecs.cpp).

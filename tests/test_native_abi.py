@@ -62,6 +62,11 @@ class DlimgApi(ctypes.Structure):
         ("destroy_image", ctypes.CFUNCTYPE(
             None, ctypes.POINTER(ctypes.c_uint8))),
         ("last_error", ctypes.CFUNCTYPE(ctypes.c_char_p)),
+        # Extensions appended past the reference-compatible 13-entry prefix.
+        ("generate_masks", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int))),
     ]
 
 
@@ -147,6 +152,45 @@ def test_segmentation_roundtrip(api, env):
     rc = api.get_segmentation_mask(seg, point, None, out3, acc)
     assert rc == 0, api.last_error().decode()
     api.destroy_segmentation(seg)
+
+
+def test_generate_masks_abi(api, env):
+    """The appended generate_masks entry: embedded-Python route, parity vs
+    the Python API (same executable family, same random weights)."""
+    rng = np.random.default_rng(3)
+    arr = np.ascontiguousarray(
+        rng.integers(0, 256, (48, 64, 4), dtype=np.uint8))
+    seg = ctypes.c_void_p()
+    view = _view(arr, 4)
+    rc = api.process_image_for_segmentation(ctypes.byref(seg),
+                                            ctypes.byref(view), env)
+    assert rc == 0, api.last_error().decode()
+    os.environ["DLIMG_AMG_GRID"] = "4"  # tiny grid: fast CPU compile
+    try:
+        K = 4
+        thr = (ctypes.c_float * 3)(0.0, 0.0, 0.7)
+        bufs = [np.zeros(48 * 64, np.uint8) for _ in range(K)]
+        ptrs = (ctypes.POINTER(ctypes.c_uint8) * K)(
+            *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+              for b in bufs])
+        acc = (ctypes.c_float * K)()
+        count = ctypes.c_int(-1)
+        rc = api.generate_masks(seg, thr, K, ptrs, acc, ctypes.byref(count))
+        assert rc == 0, api.last_error().decode()
+        assert 1 <= count.value <= K
+        accs = [acc[i] for i in range(count.value)]
+        assert accs == sorted(accs, reverse=True)
+        for i in range(count.value):
+            assert set(np.unique(bufs[i])) <= {0, 255}
+            assert bufs[i].any()
+        # Invalid args surface as errors, not crashes.
+        rc = api.generate_masks(seg, thr, 0, ptrs, acc, ctypes.byref(count))
+        assert rc == 1
+        rc = api.generate_masks(None, thr, K, ptrs, acc, ctypes.byref(count))
+        assert rc == 1
+    finally:
+        os.environ.pop("DLIMG_AMG_GRID", None)
+        api.destroy_segmentation(seg)
 
 
 def test_image_codecs_roundtrip(api, tmp_path):

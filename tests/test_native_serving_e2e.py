@@ -42,7 +42,7 @@ def test_native_serving_e2e_cpu(tmp_path):
         [sys.executable, os.path.join(REPO, "tools", "serving_check.py"),
          "--dir", str(tmp_path), "--size", "256", "--sam-image-size", "64",
          "--backend", "cpu", "--birefnet", "general:256",
-         "--birefnet-resolution", "256"],
+         "--birefnet-resolution", "256", "--amg", "4:8"],
         capture_output=True, text=True, timeout=1800, env=env, cwd=REPO)
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
     assert "PASS: native serving mask pixel-exact" in r.stdout
@@ -50,3 +50,6 @@ def test_native_serving_e2e_cpu(tmp_path):
     # segment_objects (BiRefNet) leg: the folded-head/banded-deform graph
     # must round-trip the native exporter/loader pixel-exactly too.
     assert "segment_objects" in r.stdout
+    # generate_masks (AMG) leg: bit-exact selection + masks + accuracies
+    # through the appended ABI entry.
+    assert "generate_masks vs golden: 0/" in r.stdout

@@ -91,6 +91,11 @@ def main() -> int:
     ap.add_argument("--sam-image-size", type=int, default=0,
                     help="serving: override SAM model resolution (tests "
                          "export tiny geometries)")
+    ap.add_argument("--amg", default="",
+                    help="serving: also export the automatic-mask-"
+                         "generation program as grid:max_masks (e.g. "
+                         "'32:64'); enables generate_masks in the native "
+                         "shim (one program per bucket)")
     ap.add_argument("--batch-sizes", default="",
                     help="serving: also export batched multi-prompt decode "
                          "programs at these prompt counts (comma list, e.g. "
@@ -356,6 +361,25 @@ def main() -> int:
                 export_served(
                     f"serve_decode_batch{nb}_{args.variant}_{bucket}",
                     bdec, (bundle.params, emb, bpts, blbl, dsizes), 4)
+            if args.amg:
+                # Automatic mask generation: the SAME builder the Python
+                # runtime jits (runtime/amg.py) with identical static
+                # grid/K/prenms/chunk — native generate_masks is then
+                # bit-identical to Segmentation.generate_masks. Dynamic
+                # args: embedding, sizes, 5-float threshold vector.
+                from dlimgedit_tpu.runtime.amg import (_build_amg_fn,
+                                                       _chunk_size)
+
+                g, k = (int(v) for v in args.amg.split(":"))
+                G = g * g
+                k = min(k, 3 * G)  # same clamp as runtime generate_masks
+                args.amg = f"{g}:{k}"
+                prenms = min(3 * G, max(256, 4 * k))
+                amg = _build_amg_fn(bundle, bucket, g, k, prenms,
+                                    _chunk_size(G))
+                thr = np.array([0.5, 0.5, 0.7, 0.0, 1.0], np.float32)
+                export_served(f"serve_amg_{args.variant}_{bucket}", amg,
+                              (bundle.params, emb, dsizes, thr), 3)
         # Optional BiRefNet programs -> native segment_objects
         # (runtime/birefnet.py birefnet_segment without the Python host).
         biref_specs = []
@@ -382,6 +406,8 @@ def main() -> int:
             f.write(f"buckets\t{','.join(map(str, buckets))}\n")
             if args.batch_sizes:
                 f.write(f"batch\t{args.batch_sizes}\n")
+            if args.amg:
+                f.write(f"amg\t{args.amg}\n")
             if biref_specs:
                 f.write(f"birefnet\t{','.join(biref_specs)}\n")
             quant = [m for m, on in (

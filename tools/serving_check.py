@@ -50,6 +50,10 @@ def main() -> int:
                     help="check the s8 x s8 serving bundle")
     ap.add_argument("--int8-deform", action="store_true",
                     help="check the int8-deform BiRefNet serving bundle")
+    ap.add_argument("--amg", default="16:32",
+                    help="grid:max_masks for the automatic-mask-generation "
+                         "leg ('' disables; exported + checked bit-exact "
+                         "native-vs-Python)")
     ap.add_argument("--backend", default="gpu", choices=["gpu", "cpu"],
                     help="cpu = fully hermetic: bundle exported for and "
                          "served by the repo's own CPU PJRT plugin "
@@ -84,6 +88,8 @@ def main() -> int:
             cmd += ["--sam-image-size", str(args.sam_image_size)]
         if args.birefnet:
             cmd += ["--birefnet", args.birefnet]
+        if args.amg:
+            cmd += ["--amg", args.amg]
         if args.quantize:
             cmd += ["--quantize"]
         if args.quantize_activations:
@@ -158,6 +164,19 @@ if {bool(args.birefnet)!r}:
     obj = dl.segment_objects(img, env)
     open({args.dir!r} + "/golden_objects.raw", "wb").write(
         obj.pixels.tobytes())
+if {args.amg!r}:
+    # Same grid/max_masks as the exported serve_amg program (identical
+    # builder + static config -> identical executable -> bit-exact).
+    g, k = (int(v) for v in {args.amg!r}.split(":"))
+    thr = (0.5, 0.5, 0.7)
+    gen = seg.generate_masks(grid=g, max_masks=k, iou_thresh=thr[0],
+                             stability_thresh=thr[1], nms_thresh=thr[2])
+    open({args.dir!r} + "/golden_amg.raw", "wb").write(
+        b"".join(m.image.pixels.tobytes() for m in gen))
+    np.array([m.accuracy for m in gen], np.float32).tofile(
+        {args.dir!r} + "/golden_amg_acc.raw")
+    open({args.dir!r} + "/meta_amg.txt", "w").write(
+        f"{{thr[0]}} {{thr[1]}} {{thr[2]}} {{k}}\\n")
 print("golden written")
 """
     r = subprocess.run([sys.executable, "-c", golden_code])
