@@ -22,6 +22,7 @@ Quick start::
 """
 
 from .errors import DlimgError, ModelNotFoundError, UnsupportedImageError
+from .runtime.amg import generate_masks_image
 from .runtime.environment import Environment, is_supported
 from .runtime.segmentation import Mask, Segmentation, segment_objects
 from .types import (
@@ -41,6 +42,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Backend", "Channels", "DlimgError", "Environment", "Extent", "Image",
     "ImageView", "Mask", "ModelNotFoundError", "Options", "Point", "Region",
-    "Segmentation", "UnsupportedImageError", "channel_count", "is_supported",
-    "segment_objects", "__version__",
+    "Segmentation", "UnsupportedImageError", "channel_count",
+    "generate_masks_image", "is_supported", "segment_objects",
+    "__version__",
 ]

@@ -20,6 +20,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+from .connected import _label_components
+
 
 def point_grid(n: int, crop_w, crop_h) -> jnp.ndarray:
     """(n*n, 2) float32 (x, y) prompt grid centred over the valid region.
@@ -89,12 +91,77 @@ def box_iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1.0)
 
 
+def _per_pixel_sizes(labels: jnp.ndarray, mask: jnp.ndarray):
+    """(H, W) component labels -> per-pixel component area (f32) plus the
+    label of the largest component (int32; 0 if `mask` is empty)."""
+    H, W = labels.shape
+    sizes = jnp.zeros((H * W + 1,), jnp.int32).at[labels.ravel()].add(
+        mask.ravel().astype(jnp.int32))
+    sizes = sizes.at[0].set(0)  # background label carries no component
+    largest = jnp.argmax(sizes).astype(jnp.int32)
+    per_pix = jnp.take(sizes, labels.reshape(-1)).reshape(H, W)
+    return per_pix.astype(jnp.float32), largest
+
+
+def refine_mask_logits(logits: jnp.ndarray, valid: jnp.ndarray,
+                       min_area, max_iters: int = 64) -> jnp.ndarray:
+    """(L, L) mask logits -> logits with sub-`min_area` regions removed.
+
+    The device analog of upstream SamAutomaticMaskGenerator's
+    `min_mask_region_area` post-filter (`postprocess_small_regions` /
+    `remove_small_regions`), in the same order and with the same
+    8-connectivity as its cv2.connectedComponentsWithStats calls:
+
+      1. holes — 8-connected components of the mask complement smaller
+         than `min_area` are filled (the outer background is always huge,
+         so it survives; holes merged with the padding region count as
+         background and are never filled);
+      2. islands — components of the hole-filled mask smaller than
+         `min_area` are removed, keeping the LARGEST island if every one
+         falls below the threshold (upstream keeps argmax in that case).
+
+    Deviations from upstream, by design: the filter runs on the low-res
+    logit grid (`min_area` is a traced scalar in low-res pixels — the
+    caller converts from original-image pixels), and the result is
+    expressed by clamping logits (+8 for filled holes, -8 for removed
+    islands) so the downstream bilinear upsample + threshold renders the
+    filtered mask with smooth boundaries instead of blocky low-res
+    staircases. Upstream's post-filter re-NMS over changed boxes is
+    skipped: here the filter runs on the NMS winners, and a filtered
+    mask's box only ever shrinks.
+    """
+    binary = (logits > 0) & valid
+    # Holes first (upstream order): small components of the complement.
+    inv = ~binary
+    lab_h, _ = _label_components(inv, max_iters, conn8=True)
+    hole_sz, _ = _per_pixel_sizes(lab_h, inv)
+    fill = inv & valid & (hole_sz < min_area)
+    filled = binary | fill
+    # Islands on the hole-filled mask.
+    lab_i, _ = _label_components(filled, max_iters, conn8=True)
+    isl_sz, largest = _per_pixel_sizes(lab_i, filled)
+    big = filled & (isl_sz >= min_area)
+    any_big = jnp.any(big)
+    keep = jnp.where(any_big, big, filled & (lab_i == largest))
+    force_on = keep & ~binary
+    force_off = binary & ~keep
+    out = jnp.where(force_on, jnp.maximum(logits, 8.0), logits)
+    return jnp.where(force_off, jnp.minimum(out, -8.0), out)
+
+
 def greedy_nms(boxes_sorted: jnp.ndarray, scores_sorted: jnp.ndarray,
                thresh) -> jnp.ndarray:
     """Exact greedy box NMS over score-descending candidates -> bool keep.
 
     Candidates with score <= 0 are invalid and never kept (the caller marks
-    filtered-out candidates with score -1 before sorting).  Semantics match
+    filtered-out candidates with score -1 before sorting). DOCUMENTED
+    CONTRACT: this gate — like the host-side `score <= 0` stop in
+    runtime/amg.generate_masks and the C bridge's while-loop — also
+    discards a candidate that passed every filter but whose PREDICTED IoU
+    is <= 0. Such a mask is one the decoder itself rates as garbage, so
+    the conflation is intentional; callers wanting `iou_thresh <= 0`
+    semantics should know masks with non-positive predicted IoU never
+    survive.  Semantics match
     torchvision.ops.nms: walk candidates best-first; each kept candidate
     suppresses every LATER candidate whose box IoU with it exceeds
     `thresh`.  The IoU matrix is materialised once (M x M) and the

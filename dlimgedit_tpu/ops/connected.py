@@ -27,18 +27,29 @@ import jax
 import jax.numpy as jnp
 
 
-def _propagate_once(labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def _propagate_once(labels: jnp.ndarray, mask: jnp.ndarray,
+                    conn8: bool = False) -> jnp.ndarray:
     up = jnp.pad(labels[:-1, :], ((1, 0), (0, 0)))
     down = jnp.pad(labels[1:, :], ((0, 1), (0, 0)))
     left = jnp.pad(labels[:, :-1], ((0, 0), (1, 0)))
     right = jnp.pad(labels[:, 1:], ((0, 0), (0, 1)))
     m = jnp.maximum(jnp.maximum(up, down), jnp.maximum(left, right))
+    if conn8:
+        # Diagonal neighbours: shift the already-shifted rows sideways.
+        ul = jnp.pad(up[:, :-1], ((0, 0), (1, 0)))
+        ur = jnp.pad(up[:, 1:], ((0, 0), (0, 1)))
+        dl = jnp.pad(down[:, :-1], ((0, 0), (1, 0)))
+        dr = jnp.pad(down[:, 1:], ((0, 0), (0, 1)))
+        m = jnp.maximum(m, jnp.maximum(jnp.maximum(ul, ur),
+                                       jnp.maximum(dl, dr)))
     return jnp.where(mask, jnp.maximum(labels, m), 0)
 
 
-def _label_components(mask: jnp.ndarray, max_iters: int = 64):
-    """Label every 4-connected component of `mask` with the max pixel id it
-    contains. Returns (labels (H, W) int32, sweep count int32).
+def _label_components(mask: jnp.ndarray, max_iters: int = 64,
+                      conn8: bool = False):
+    """Label every 4-connected (8-connected with `conn8`) component of
+    `mask` with the max pixel id it contains. Returns (labels (H, W) int32,
+    sweep count int32).
 
     Invariant: a pixel's label is always the id of a pixel in its OWN
     component (ids are seeded per foreground pixel and only moved between
@@ -58,7 +69,7 @@ def _label_components(mask: jnp.ndarray, max_iters: int = 64):
 
     def body(state):
         labels, _, it = state
-        cand = _propagate_once(labels, mask).ravel()
+        cand = _propagate_once(labels, mask, conn8).ravel()
         f = labels.ravel()
         # Hook: push the neighbourhood max onto the pixel this label points
         # at. (For fg pixels the target is always a fg pixel; bg pixels

@@ -350,7 +350,8 @@ class Segmentation:
                        stability_thresh: float = 0.95,
                        nms_thresh: float = 0.7,
                        min_area_frac: float = 0.0,
-                       max_area_frac: float = 1.0) -> List[Mask]:
+                       max_area_frac: float = 1.0,
+                       min_mask_region_area: int = 0) -> List[Mask]:
         """Segment everything: masks for all objects, best-first.
 
         The upstream-SAM automatic mask generator (point grid -> multimask
@@ -361,14 +362,20 @@ class Segmentation:
 
         grid: points per side of the prompt grid (grid^2 prompts, 3
         candidate masks each).  max_masks: static output slots; fewer may
-        return.  Masks are sorted by predicted IoU (Mask.accuracy)."""
+        return.  Masks are sorted by predicted IoU (Mask.accuracy).
+        min_mask_region_area (original-image px, upstream's parameter):
+        fill holes / drop islands smaller than this, on device.  For
+        multi-crop generation (upstream crop_n_layers) use the
+        module-level generate_masks_image — it needs the pixels, which a
+        Segmentation no longer holds."""
         from .amg import generate_masks as _amg
 
         return _amg(self, grid=grid, max_masks=max_masks,
                     iou_thresh=iou_thresh,
                     stability_thresh=stability_thresh,
                     nms_thresh=nms_thresh, min_area_frac=min_area_frac,
-                    max_area_frac=max_area_frac)
+                    max_area_frac=max_area_frac,
+                    min_mask_region_area=min_mask_region_area)
 
 
 def segment_objects(img: Union[Image, ImageView], env: Environment) -> Image:

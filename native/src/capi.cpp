@@ -666,10 +666,22 @@ dlimg_Result api_generate_masks(dlimg_Segmentation seg,
                                    out_accuracies, out_count);
     Gil gil;
     PyObject* ptrs = PyList_New(max_masks);
-    for (int i = 0; i < max_masks; ++i)
-        PyList_SetItem(ptrs, i,
-                       PyLong_FromUnsignedLongLong(
-                           (unsigned long long)(uintptr_t)out_masks[i]));
+    if (!ptrs) {
+        PyErr_Clear();
+        set_error("generate_masks: allocation failure");
+        return dlimg_error;
+    }
+    for (int i = 0; i < max_masks; ++i) {
+        PyObject* v = PyLong_FromUnsignedLongLong(
+            (unsigned long long)(uintptr_t)out_masks[i]);
+        if (!v) {  // PyList_SetItem(NULL) would store a hole / crash later
+            PyErr_Clear();
+            Py_DECREF(ptrs);
+            set_error("generate_masks: allocation failure");
+            return dlimg_error;
+        }
+        PyList_SetItem(ptrs, i, v);
+    }
     PyObject* r = bridge_call(
         "generate_masks",
         Py_BuildValue("(OfffiNK)", seg->obj, thresholds[0], thresholds[1],

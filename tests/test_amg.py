@@ -29,8 +29,10 @@ from dlimgedit_tpu.ops.amg import (
     greedy_nms,
     mask_boxes,
     point_grid,
+    refine_mask_logits,
     stability_scores,
 )
+from dlimgedit_tpu.runtime.amg import _prenms_pool, crop_boxes
 from dlimgedit_tpu.ops.postprocess import (
     pack_mask_bits,
     unpack_mask_bits,
@@ -130,6 +132,108 @@ def test_point_grid_centres():
     got = np.asarray(point_grid(2, jnp.float32(100.0), jnp.float32(60.0)))
     exp = np.array([[25, 15], [75, 15], [25, 45], [75, 45]], np.float32)
     np.testing.assert_allclose(got, exp)
+
+
+def _np_label8(mask):
+    """8-connected component labelling, BFS (the cv2 oracle)."""
+    H, W = mask.shape
+    lab = np.zeros((H, W), np.int32)
+    cur = 0
+    for i in range(H):
+        for j in range(W):
+            if mask[i, j] and lab[i, j] == 0:
+                cur += 1
+                stack = [(i, j)]
+                lab[i, j] = cur
+                while stack:
+                    y, x = stack.pop()
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            ny, nx = y + dy, x + dx
+                            if (0 <= ny < H and 0 <= nx < W
+                                    and mask[ny, nx] and lab[ny, nx] == 0):
+                                lab[ny, nx] = cur
+                                stack.append((ny, nx))
+    return lab, cur
+
+
+def _np_refine(binary, valid, min_area):
+    """Upstream remove_small_regions oracle: holes first, then islands
+    (keeping the largest island if all fall below min_area)."""
+    inv = ~binary
+    lab, n = _np_label8(inv)
+    out = binary.copy()
+    for c in range(1, n + 1):
+        comp = lab == c
+        if comp.sum() < min_area:
+            out |= comp & valid
+    lab, n = _np_label8(out)
+    if n == 0:
+        return out
+    sizes = np.array([(lab == c).sum() for c in range(1, n + 1)])
+    big = [c + 1 for c in range(n) if sizes[c] >= min_area]
+    if not big:
+        big = [int(np.argmax(sizes)) + 1]
+    return np.isin(lab, big) & out
+
+
+@pytest.mark.parametrize("seed,min_area", [(0, 4), (1, 7), (2, 12)])
+def test_refine_mask_logits_oracle(seed, min_area):
+    rng = np.random.default_rng(seed)
+    L = 24
+    # Blobby logits: thresholded smoothed noise gives coherent regions
+    # with holes and islands at several scales.
+    raw = rng.normal(0, 1, (L + 8, L + 8))
+    k = np.ones((5, 5)) / 25.0
+    sm = np.zeros((L, L))
+    for i in range(L):
+        for j in range(L):
+            sm[i, j] = (raw[i:i + 5, j:j + 5] * k).sum()
+    logits = ((sm - np.median(sm)) * 40.0).astype(np.float32)
+    valid = np.zeros((L, L), bool)
+    valid[:L - 3, :L - 2] = True
+    got = np.asarray(refine_mask_logits(jnp.asarray(logits),
+                                        jnp.asarray(valid),
+                                        jnp.float32(min_area)))
+    exp = _np_refine((logits > 0) & valid, valid, min_area)
+    np.testing.assert_array_equal((got > 0) & valid, exp)
+
+
+def test_refine_keeps_largest_when_all_small():
+    # Two islands (areas 3 and 5) below min_area=10: upstream keeps argmax.
+    L = 16
+    logits = np.full((L, L), -4.0, np.float32)
+    logits[2, 2:5] = 4.0          # area 3
+    logits[8, 3:7] = 4.0          # area 5 (L-shape)
+    logits[9, 3] = 4.0
+    valid = np.ones((L, L), bool)
+    got = np.asarray(refine_mask_logits(jnp.asarray(logits),
+                                        jnp.asarray(valid),
+                                        jnp.float32(10.0)))
+    exp = _np_refine(logits > 0, valid, 10)
+    assert exp.sum() == 5
+    np.testing.assert_array_equal(got > 0, exp)
+
+
+def test_prenms_pool_scales_with_grid():
+    # Advisor r4: the pool must cover >= 3/4 of candidates, not a flat 256.
+    assert _prenms_pool(4 * 4, 8) == 48          # tiny grid: full pool
+    assert _prenms_pool(32 * 32, 64) == 2304     # 3/4 of 3072, not 256
+    assert _prenms_pool(10 * 10, 64) == 256      # floor holds mid-range
+    assert _prenms_pool(10 * 10, 128) == 300     # never exceeds 3G
+    assert _prenms_pool(20 * 20, 256) == 1024    # 4x winners floor
+
+
+def test_crop_boxes_upstream_mirror():
+    from dlimgedit_tpu import Extent
+
+    got = crop_boxes(Extent(100, 60), 1, 512 / 1500)
+    # overlap = int((512/1500)*60*(2/2)) = 20; cw = ceil(120/2) = 60,
+    # ch = ceil(80/2) = 40; x0s = [0, 40], y0s = [0, 20].
+    assert got == [(0, 0, 100, 60, 0),
+                   (0, 0, 60, 40, 1), (40, 0, 100, 40, 1),
+                   (0, 20, 60, 60, 1), (40, 20, 100, 60, 1)]
+    assert crop_boxes(Extent(100, 60), 0, 0.5) == [(0, 0, 100, 60, 0)]
 
 
 # ---------------------------------------------------------------- pipeline
@@ -251,6 +355,75 @@ def test_generate_masks_basics(env, seg):
     # Deterministic.
     again = seg.generate_masks(grid=4, max_masks=4, iou_thresh=0.0,
                                stability_thresh=0.0)
+    assert len(again) == len(got)
+    for a, b in zip(got, again):
+        np.testing.assert_array_equal(np.asarray(a.image.pixels),
+                                      np.asarray(b.image.pixels))
+
+
+def test_generate_masks_min_region_area(env, seg):
+    base = seg.generate_masks(grid=4, max_masks=4, iou_thresh=0.0,
+                              stability_thresh=0.0)
+    n0 = len(env._executables)
+    got = seg.generate_masks(grid=4, max_masks=4, iou_thresh=0.0,
+                             stability_thresh=0.0, min_mask_region_area=9)
+    # The refine pass is a STATIC build flag (one extra executable); the
+    # area itself is traced.
+    assert len(env._executables) == n0 + 1
+    seg.generate_masks(grid=4, max_masks=4, iou_thresh=0.0,
+                       stability_thresh=0.0, min_mask_region_area=25)
+    assert len(env._executables) == n0 + 1
+    # Same candidates selected (the filter runs on pass-B winners only).
+    assert len(got) == len(base)
+    np.testing.assert_allclose([g.accuracy for g in got],
+                               [b.accuracy for b in base], atol=1e-6)
+    for g in got:
+        px = np.asarray(g.image.pixels)
+        assert set(np.unique(px)) <= {0, 255}
+
+
+def test_generate_masks_image_matches_single_crop(env):
+    from dlimgedit_tpu import generate_masks_image
+    from dlimgedit_tpu.types import Channels, Extent, Image
+
+    rng = np.random.default_rng(7)
+    img = Image(Extent(96, 64), Channels.rgba,
+                rng.integers(0, 256, (64, 96, 4), dtype=np.uint8))
+    seg = Segmentation.process(img, env)
+    base = seg.generate_masks(grid=4, max_masks=6, iou_thresh=0.0,
+                              stability_thresh=0.0)
+    got = generate_masks_image(img, env, grid=4, max_masks=6,
+                               iou_thresh=0.0, stability_thresh=0.0,
+                               crop_n_layers=0)
+    assert len(got) == len(base)
+    for g, b in zip(got, base):
+        assert g.accuracy == pytest.approx(b.accuracy, abs=1e-6)
+        np.testing.assert_array_equal(np.asarray(g.image.pixels).squeeze(),
+                                      np.asarray(b.image.pixels).squeeze())
+
+
+def test_generate_masks_image_crop_layer(env):
+    from dlimgedit_tpu import generate_masks_image
+    from dlimgedit_tpu.types import Channels, Extent, Image
+
+    rng = np.random.default_rng(8)
+    img = Image(Extent(96, 64), Channels.rgba,
+                rng.integers(0, 256, (64, 96, 4), dtype=np.uint8))
+    got = generate_masks_image(img, env, grid=4, max_masks=8,
+                               iou_thresh=0.0, stability_thresh=0.0,
+                               crop_n_layers=1, crop_nms_thresh=0.8)
+    assert 1 <= len(got) <= 8
+    accs = [g.accuracy for g in got]
+    assert accs == sorted(accs, reverse=True)
+    for g in got:
+        assert g.image.extent == Extent(96, 64)  # crops pasted to full size
+        px = np.asarray(g.image.pixels)
+        assert set(np.unique(px)) <= {0, 255}
+        assert px.any()
+    # Deterministic end to end (crop NMS included).
+    again = generate_masks_image(img, env, grid=4, max_masks=8,
+                                 iou_thresh=0.0, stability_thresh=0.0,
+                                 crop_n_layers=1, crop_nms_thresh=0.8)
     assert len(again) == len(got)
     for a, b in zip(got, again):
         np.testing.assert_array_equal(np.asarray(a.image.pixels),

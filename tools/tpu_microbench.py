@@ -175,21 +175,54 @@ def cmd_amg(dev, variant="mobile_sam", grid=32, max_masks=64):
           f"{min(walls):7.1f} ms ({len(masks)} masks)", flush=True)
 
     # Device-only program time via the two-point slope.
+    from dlimgedit_tpu.runtime.amg import _prenms_pool
+
     bundle = env.sam_model(variant)
     bucket = pick_bucket(seg.extent)
     G = grid * grid
-    prenms = min(3 * G, max(256, 4 * max_masks))
+    prenms = _prenms_pool(G, max_masks)
     fn = _build_amg_fn(bundle, bucket, grid, max_masks, prenms,
                        _chunk_size(G))
     sizes = env.sizes_on_device((seg.extent.height, seg.extent.width,
                                  seg._crop[0], seg._crop[1]))
-    thr = jax.device_put(np.asarray([0.0, 0.0, 0.7, 0.0, 1.0], np.float32),
-                         env.put_target)
+    thr = jax.device_put(
+        np.asarray([0.0, 0.0, 0.7, 0.0, 1.0, 0.0], np.float32),
+        env.put_target)
     ms = slope_ms(lambda p, e_, s, t, eps: fn(
         p, e_ + eps.astype(e_.dtype), s, t)[0],
         (bundle.params, seg.embedding, sizes, thr), n_chain=2)
     print(f"amg {variant} grid={grid} K={max_masks} device program: "
           f"{ms:7.1f} ms", flush=True)
+
+    # Pass-A vs pass-B numeric drift (advisor r4): the chunked-lax.map and
+    # flat-vmap decode programs may fuse differently in bf16; measure the
+    # max logit/IoU delta over every candidate at this geometry.
+    from dlimgedit_tpu.models import sam as sam_lib
+    from dlimgedit_tpu.ops.amg import point_grid
+
+    cfg = bundle.cfg
+
+    def decode3(pt):
+        pc = jnp.stack([pt, jnp.zeros_like(pt)], axis=0)[None]
+        pl = jnp.array([[1.0, -1.0]], jnp.float32)
+        m, iou = sam_lib.decode_masks(bundle.params, cfg, seg.embedding,
+                                      pc, pl, multimask=True)
+        return m[0, 1:4], iou[0, 1:4]
+
+    chunk = _chunk_size(G)
+
+    @jax.jit
+    def drift():
+        pts = point_grid(grid, jnp.float32(seg._crop[1]),
+                         jnp.float32(seg._crop[0]))
+        ma, ia = lax.map(jax.vmap(decode3), pts.reshape(-1, chunk, 2))
+        mb, ib = jax.vmap(decode3)(pts)
+        return (jnp.max(jnp.abs(ma.reshape(mb.shape) - mb)),
+                jnp.max(jnp.abs(ia.reshape(ib.shape) - ib)))
+
+    dm, di = jax.device_get(drift())
+    print(f"amg pass-A/pass-B drift: max|logit| {float(dm):.3e}, "
+          f"max|iou| {float(di):.3e}", flush=True)
 
 
 def cmd_batch(dev, quant="none", variant="mobile_sam"):
