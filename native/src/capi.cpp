@@ -608,6 +608,10 @@ void api_destroy_environment(dlimg_Environment env) {
 dlimg_Result api_process(dlimg_Segmentation* out, dlimg_ImageView const* img,
                          dlimg_Environment env) {
   return try_([&]() -> dlimg_Result {
+    if (!out || !img || !env) {  // a null HANDLE is an error, not a segfault
+        set_error("process: invalid arguments (null environment/image)");
+        return dlimg_error;
+    }
     if (env->pjrt) return pjrt_process(out, img, env);
     Gil gil;
     PyObject* r = bridge_call(
@@ -628,6 +632,10 @@ dlimg_Result api_get_mask(dlimg_Segmentation seg, int const* point,
                           int const* region, uint8_t** out_masks,
                           float* out_accuracies) {
   return try_([&]() -> dlimg_Result {
+    if (!seg || !out_masks || (!point && !region)) {
+        set_error("compute_mask: invalid arguments (null handle/outputs)");
+        return dlimg_error;
+    }
     if (seg->pjrt)
         return pjrt_get_mask(seg, point, region, out_masks, out_accuracies);
     Gil gil;
@@ -695,6 +703,11 @@ dlimg_Result api_generate_masks(dlimg_Segmentation seg,
 }
 
 void api_get_extent(dlimg_Segmentation seg, int* out_extent) {
+    if (!out_extent) return;
+    if (!seg) {  // null handle reports a zero extent, not a segfault
+        out_extent[0] = out_extent[1] = 0;
+        return;
+    }
     out_extent[0] = seg->width;
     out_extent[1] = seg->height;
 }
@@ -712,6 +725,10 @@ void api_destroy_segmentation(dlimg_Segmentation seg) {
 dlimg_Result api_segment_objects(dlimg_ImageView const* img, uint8_t* out_mask,
                                  dlimg_Environment env) {
   return try_([&]() -> dlimg_Result {
+    if (!img || !out_mask || !env) {
+        set_error("segment_objects: invalid arguments (null handle/image)");
+        return dlimg_error;
+    }
     if (env->pjrt) return pjrt_segment_objects(img, out_mask, env);
     Gil gil;
     PyObject* r = bridge_call(

@@ -210,11 +210,15 @@ def cmd_amg(dev, variant="mobile_sam", grid=32, max_masks=64):
         return m[0, 1:4], iou[0, 1:4]
 
     chunk = _chunk_size(G)
+    # Subset of points (2 chunks): materialising ALL 3G low-res masks twice
+    # is exactly the 805 MB pass-A avoids (runtime/amg.py docstring) and
+    # OOMs the chip; program-shape drift shows on any chunk count >= 2.
+    n_sub = min(G, 2 * chunk)
 
     @jax.jit
     def drift():
         pts = point_grid(grid, jnp.float32(seg._crop[1]),
-                         jnp.float32(seg._crop[0]))
+                         jnp.float32(seg._crop[0]))[:n_sub]
         ma, ia = lax.map(jax.vmap(decode3), pts.reshape(-1, chunk, 2))
         mb, ib = jax.vmap(decode3)(pts)
         return (jnp.max(jnp.abs(ma.reshape(mb.shape) - mb)),
