@@ -36,6 +36,15 @@ from ..models.common import HIGHEST
 # resolutions — full BiRefNet 64.4 ms @1024 (65536: 71.9) and 384.7 ms
 # @2048 (65536: 404.7); 8192 starts paying per-band overhead again.
 _BAND_PIXELS = int(os.environ.get("DLIMG_DEFORM_BAND_PIXELS", "16384"))
+# 2-D banding experiment (round-5, VERDICT r4 #8): additionally split each
+# row band into column tiles, shrinking the per-step gather working set
+# (rows y..y+hb of the corner stack are re-fetched once per tile edge
+# instead of streamed full-width) to probe the residual 1.5x tap-reuse
+# headroom @2048.  1 = off (the shipped configuration; see BENCH_NOTES
+# round-5 for the on-chip verdict).  Taps may reach across tile borders —
+# the corner-stack table stays whole, so the math is exact for any tiling
+# (pinned by tests/test_ops.py::test_deform_2d_banding_matches_unbanded).
+_COL_TILES = int(os.environ.get("DLIMG_DEFORM_COL_TILES", "1"))
 
 
 def _bilinear_sample(x: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
@@ -152,15 +161,16 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     stack_info = _corner_stack(x, int8=int8_gather)  # shared by every tap
     wmat = w.astype(jnp.float32)
 
-    def taps_over(offset_b, mask_b, y_base):
-        """All K taps over one output row-band starting at absolute row
-        y_base; the band shape is what XLA's fusion heuristics keep fused
-        (see _BAND_PIXELS)."""
-        hb = offset_b.shape[1]
+    def taps_over(offset_b, mask_b, y_base, x_base=jnp.int32(0)):
+        """All K taps over one output tile starting at absolute row y_base
+        / column x_base; the band shape is what XLA's fusion heuristics
+        keep fused (see _BAND_PIXELS / _COL_TILES)."""
+        hb, wb = offset_b.shape[1], offset_b.shape[2]
         ys = (y_base + jnp.arange(hb, dtype=jnp.int32)
               ).astype(offset_b.dtype)[:, None]
-        xs = jnp.arange(W, dtype=offset_b.dtype)[None, :]
-        acc = jnp.zeros((B, hb, W, cout), jnp.float32)
+        xs = (x_base + jnp.arange(wb, dtype=jnp.int32)
+              ).astype(offset_b.dtype)[None, :]
+        acc = jnp.zeros((B, hb, wb, cout), jnp.float32)
         for ky in range(kh):
             for kx in range(kw):
                 k = ky * kw + kx
@@ -177,20 +187,25 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     n_bands = max(1, (H * W) // _BAND_PIXELS)
     while H % n_bands:
         n_bands -= 1
-    if n_bands > 1:
+    nt = _COL_TILES if (_COL_TILES > 1 and W % _COL_TILES == 0) else 1
+    if n_bands > 1 or nt > 1:
         hb = H // n_bands
-        off_b = offset.reshape(B, n_bands, hb, W, offset.shape[-1]
-                               ).transpose(1, 0, 2, 3, 4)
-        msk_b = mask.reshape(B, n_bands, hb, W, mask.shape[-1]
-                             ).transpose(1, 0, 2, 3, 4)
-        bases = (jnp.arange(n_bands, dtype=jnp.int32) * hb)
+        wt = W // nt
+        k2, km = offset.shape[-1], mask.shape[-1]
+        off_b = offset.reshape(B, n_bands, hb, nt, wt, k2).transpose(
+            1, 3, 0, 2, 4, 5).reshape(n_bands * nt, B, hb, wt, k2)
+        msk_b = mask.reshape(B, n_bands, hb, nt, wt, km).transpose(
+            1, 3, 0, 2, 4, 5).reshape(n_bands * nt, B, hb, wt, km)
+        ybases = jnp.repeat(jnp.arange(n_bands, dtype=jnp.int32) * hb, nt)
+        xbases = jnp.tile(jnp.arange(nt, dtype=jnp.int32) * wt, n_bands)
 
         def scan_body(_, xs_in):
-            ob, mb, base = xs_in
-            return None, taps_over(ob, mb, base)
+            ob, mb, yb, xb = xs_in
+            return None, taps_over(ob, mb, yb, xb)
 
-        _, bands = lax.scan(scan_body, None, (off_b, msk_b, bases))
-        out = bands.transpose(1, 0, 2, 3, 4).reshape(B, H, W, cout)
+        _, tiles = lax.scan(scan_body, None, (off_b, msk_b, ybases, xbases))
+        out = tiles.reshape(n_bands, nt, B, hb, wt, cout).transpose(
+            2, 0, 3, 1, 4, 5).reshape(B, H, W, cout)
     else:
         out = taps_over(offset, mask, jnp.int32(0))
     if bias is not None:

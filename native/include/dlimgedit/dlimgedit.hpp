@@ -18,8 +18,13 @@
 #include <string>
 #include <utility>
 #include <vector>
-#ifndef DLIMGEDIT_NO_FILESYSTEM
+// std::filesystem needs C++17; the rest of the header is C++14. The
+// fs::path load/save overloads appear automatically on C++17+ (reference
+// parity — it builds as C++20) and can be suppressed there with
+// DLIMGEDIT_NO_FILESYSTEM exactly like the reference header.
+#if !defined(DLIMGEDIT_NO_FILESYSTEM) && __cplusplus >= 201703L
 #    include <filesystem>
+#    define DLIMGEDIT_HAS_FILESYSTEM 1
 #endif
 
 namespace dlimg {
@@ -118,7 +123,7 @@ class Image {
         detail::throw_on_error(detail::api().save_image(&v, filepath));
     }
 
-#ifndef DLIMGEDIT_NO_FILESYSTEM
+#ifdef DLIMGEDIT_HAS_FILESYSTEM
     static Image load(std::filesystem::path const& p) {
         return load(p.string().c_str());
     }

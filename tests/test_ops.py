@@ -508,6 +508,43 @@ def test_deform_banding_matches_unbanded():
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
 
 
+def test_deform_2d_banding_matches_unbanded():
+    """2-D banding (row bands x column tiles; ops/deform._COL_TILES) is an
+    exact re-cut of the output loop too: taps reaching across tile borders
+    read the whole corner-stack table, so the math never changes."""
+    import jax.numpy as jnp
+
+    from dlimgedit_tpu.ops import deform
+
+    rng = np.random.default_rng(13)
+    B, H, W, C, cout, ks = 1, 12, 8, 5, 7, 3
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    off = jnp.asarray((rng.standard_normal((B, H, W, 2 * ks * ks)) * 1.5)
+                      .astype(np.float32))
+    msk = jnp.asarray(rng.uniform(0.2, 1.8, (B, H, W, ks * ks))
+                      .astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((ks, ks, C, cout)).astype(np.float32)
+                    * 0.1)
+    b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+    want = np.asarray(deform.deform_conv2d(x, off, msk, w, b, padding=1))
+    orig_band, orig_tiles = deform._BAND_PIXELS, deform._COL_TILES
+    try:
+        deform._BAND_PIXELS = H * W // 4   # 4 row bands ...
+        deform._COL_TILES = 2              # ... x 2 column tiles
+        got = np.asarray(deform.deform_conv2d(x, off, msk, w, b, padding=1))
+        deform._BAND_PIXELS = H * W        # column tiles alone
+        got_cols = np.asarray(deform.deform_conv2d(x, off, msk, w, b,
+                                                   padding=1))
+        deform._COL_TILES = 5              # does not divide W=8 -> ignored
+        got_nodiv = np.asarray(deform.deform_conv2d(x, off, msk, w, b,
+                                                    padding=1))
+    finally:
+        deform._BAND_PIXELS, deform._COL_TILES = orig_band, orig_tiles
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(got_cols, want, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(got_nodiv, want, atol=1e-6, rtol=1e-6)
+
+
 def test_pack_and_put_canvas_chunked_matches_single():
     """Chunked pack+put pipeline (VERDICT r3 #6): the device-joined row
     chunks must equal the single-put canvas bit-for-bit, for chunk counts
