@@ -103,6 +103,31 @@ def compute_mask(seg: Segmentation, point, region, out_mask_ptrs,
             acc[i] = m.accuracy
 
 
+def compute_mask_batch(seg: Segmentation, prompts, is_region, n: int,
+                       out_mask_ptrs, out_acc_ptr: int) -> None:
+    """Batched decode over the C ABI: prompts is a flat int tuple [n*4]
+    ({x,y,_,_} for points, {x0,y0,x1,y1} for boxes per is_region), masks
+    written into n caller (w*h)-byte buffers, accuracies into a float[n]
+    buffer when non-null. One device program (Segmentation.compute_mask_batch
+    — BASELINE config 3)."""
+    w, h = seg.extent.width, seg.extent.height
+    plist = []
+    for i in range(n):
+        v = prompts[4 * i:4 * i + 4]
+        if is_region[i]:
+            plist.append(Region(Point(v[0], v[1]), Point(v[2], v[3])))
+        else:
+            plist.append(Point(v[0], v[1]))
+    masks = seg.compute_mask_batch(plist)
+    acc = (ctypes.c_float * n).from_address(out_acc_ptr) \
+        if out_acc_ptr else None
+    for i, m in enumerate(masks):
+        out = (ctypes.c_uint8 * (w * h)).from_address(out_mask_ptrs[i])
+        np.frombuffer(out, dtype=np.uint8)[:] = m.image.pixels.ravel()
+        if acc is not None:
+            acc[i] = m.accuracy
+
+
 def generate_masks(seg: Segmentation, iou_thresh: float,
                    stability_thresh: float, nms_thresh: float,
                    max_masks: int, out_mask_ptrs, out_acc_ptr: int) -> int:

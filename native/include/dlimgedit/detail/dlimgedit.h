@@ -104,6 +104,18 @@ struct dlimg_Api {
                                    float const* thresholds /*[3]*/,
                                    int max_masks, uint8_t* const* out_masks,
                                    float* out_accuracies, int* out_count);
+
+    /* Batched multi-prompt decode: n prompts against ONE processed image's
+     * cached embedding in a single device program (one dispatch + one
+     * fetch). prompts: int[n*4] — {x, y, unused, unused} for a point,
+     * {x0, y0, x1, y1} for a box; is_region: int[n] (0 = point, 1 = box).
+     * out_masks: uint8_t*[n], each width*height bytes (best mask per
+     * prompt); out_accuracies: float[n] or NULL. */
+    dlimg_Result (*compute_mask_batch)(dlimg_Segmentation,
+                                       int const* prompts /*[n*4]*/,
+                                       int const* is_region /*[n]*/, int n,
+                                       uint8_t* const* out_masks,
+                                       float* out_accuracies);
 };
 
 DLIMG_API struct dlimg_Api const* dlimg_init(void);

@@ -316,6 +316,57 @@ class Segmentation : public Handle<dlimg_Segmentation_> {
         return result;
     }
 
+    // A point-or-box prompt for compute_mask_batch. Extension past the
+    // reference API.
+    struct Prompt {
+        Point point{};
+        Region region{};
+        bool is_region = false;
+        Prompt(Point p) : point(p) {}
+        Prompt(Region r) : region(r), is_region(true) {}
+    };
+
+    // Decode MANY prompts against the cached embedding in ONE device
+    // program (one dispatch + one fetch; the best mask per prompt).
+    // Mirrors runtime/segmentation.py compute_mask_batch. Extension past
+    // the reference API.
+    std::vector<Mask> compute_mask_batch(Prompt const* prompts,
+                                         int count) const {
+        auto e = extent();
+        std::vector<Mask> result;
+        result.reserve(count);
+        std::vector<uint8_t*> ptrs(count);
+        std::vector<int> flat(size_t(count) * 4, 0);
+        std::vector<int> is_region(count, 0);
+        for (int i = 0; i < count; ++i) {
+            result.push_back(Mask{Image(e, Channels::mask), 0.0f});
+            ptrs[i] = result.back().image.pixels();
+            Prompt const& p = prompts[i];
+            if (p.is_region) {
+                flat[4 * i] = p.region.top_left.x;
+                flat[4 * i + 1] = p.region.top_left.y;
+                flat[4 * i + 2] = p.region.bottom_right.x;
+                flat[4 * i + 3] = p.region.bottom_right.y;
+                is_region[i] = 1;
+            } else {
+                flat[4 * i] = p.point.x;
+                flat[4 * i + 1] = p.point.y;
+            }
+        }
+        std::vector<float> acc(count, 0.0f);
+        detail::throw_on_error(detail::api().compute_mask_batch(
+            handle(), flat.data(), is_region.data(), count, ptrs.data(),
+            acc.data()));
+        for (int i = 0; i < count; ++i) {
+            result[i].accuracy = acc[i];
+        }
+        return result;
+    }
+    std::vector<Mask> compute_mask_batch(
+        std::vector<Prompt> const& prompts) const {
+        return compute_mask_batch(prompts.data(), int(prompts.size()));
+    }
+
     Extent extent() const noexcept {
         int e[2] = {0, 0};
         detail::api().get_segmentation_extent(handle(), e);

@@ -359,6 +359,111 @@ dlimg_Result pjrt_get_mask(dlimg_Segmentation seg, int const* point,
     return dlimg_success;
 }
 
+// Batched decode through one serve_decode_batch<nb> program. Prompt i is
+// {x,y,_,_} (point) or {x0,y0,x1,y1} (box) per is_region[i]; slots past n
+// are padded with the (-1,-1) "no prompt" labels the Python runtime uses
+// (runtime/segmentation.py compute_mask_batch).
+dlimg_Result pjrt_compute_mask_batch(dlimg_Segmentation seg,
+                                     int const* prompts,
+                                     int const* is_region, int n,
+                                     uint8_t* const* out_masks,
+                                     float* out_accuracies) {
+    auto* be = seg->pjrt;
+    auto const& sizes_avail = dlimg_pjrt::batch_sizes(be);
+    auto tp = [&](int v) { return float(int(v * seg->scale + 0.5)); };
+    if (sizes_avail.empty()) {
+        // Bundle exported without --batch-sizes: fall back to one
+        // serve_decode_ program per prompt (correct, just not batched).
+        for (int i = 0; i < n; ++i) {
+            int v[4] = {prompts[4 * i], prompts[4 * i + 1],
+                        prompts[4 * i + 2], prompts[4 * i + 3]};
+            uint8_t* outs1[3] = {out_masks[i], nullptr, nullptr};
+            dlimg_Result r = pjrt_get_mask(
+                seg, is_region[i] ? nullptr : v, is_region[i] ? v : nullptr,
+                outs1, out_accuracies ? out_accuracies + i : nullptr);
+            if (r != dlimg_success) return r;
+        }
+        return dlimg_success;
+    }
+    int done = 0;
+    while (done < n) {
+        int want = n - done;
+        // Smallest exported batch size covering the remainder; else the
+        // largest (and loop).
+        int nb = sizes_avail.back();
+        for (int s : sizes_avail)
+            if (s >= want) { nb = s; break; }
+        int take = std::min(want, nb);
+        std::vector<float> pts(size_t(nb) * 4, 0.0f);
+        std::vector<float> lbl(size_t(nb) * 2, -1.0f);
+        for (int i = 0; i < take; ++i) {
+            int const* v = prompts + size_t(done + i) * 4;
+            if (is_region[done + i]) {
+                pts[4 * i] = tp(v[0]);
+                pts[4 * i + 1] = tp(v[1]);
+                pts[4 * i + 2] = tp(v[2]);
+                pts[4 * i + 3] = tp(v[3]);
+                lbl[2 * i] = 2.0f;
+                lbl[2 * i + 1] = 3.0f;
+            } else {
+                pts[4 * i] = tp(v[0]);
+                pts[4 * i + 1] = tp(v[1]);
+                lbl[2 * i] = 1.0f;
+                lbl[2 * i + 1] = -1.0f;
+            }
+        }
+        int32_t sizes[4] = {seg->height, seg->width, seg->crop_h,
+                            seg->crop_w};
+        std::string name = "serve_decode_batch" + std::to_string(nb) + "_" +
+                           dlimg_pjrt::variant(be) + "_" +
+                           std::to_string(seg->bucket);
+        std::vector<dlimg_pjrt::Arg> args(4);
+        args[0].dev = seg->emb;
+        args[1].host = pts.data();
+        args[1].dims = {nb, 2, 2};
+        args[1].dtype = "float32";
+        args[2].host = lbl.data();
+        args[2].dims = {nb, 2};
+        args[2].dtype = "float32";
+        args[3].host = sizes;
+        args[3].dims = {4};
+        args[3].dtype = "int32";
+        std::vector<dlimg_pjrt::Buf*> outs;
+        std::string err;
+        if (!dlimg_pjrt::run(be, name, args, &outs, &err)) {
+            set_error(err);
+            return dlimg_error;
+        }
+        if (outs.size() < 2) {
+            for (auto* o : outs) dlimg_pjrt::release(be, o);
+            set_error(name + ": batch decode program returned " +
+                      std::to_string(outs.size()) + " outputs, expected 2 "
+                      "(stale or mismatched serving bundle)");
+            return dlimg_error;
+        }
+        size_t row_bytes = size_t(seg->bucket) / 8;
+        std::vector<uint8_t> packed(size_t(nb) * seg->bucket * row_bytes);
+        std::vector<float> iou(nb);
+        bool ok = dlimg_pjrt::fetch(be, outs[1], iou.data(),
+                                    iou.size() * sizeof(float), &err) &&
+                  dlimg_pjrt::fetch(be, outs[0], packed.data(),
+                                    packed.size(), &err);
+        for (auto* o : outs) dlimg_pjrt::release(be, o);
+        if (!ok) {
+            set_error(err);
+            return dlimg_error;
+        }
+        for (int i = 0; i < take; ++i) {
+            unpack_mask(packed.data() + size_t(i) * seg->bucket * row_bytes,
+                        seg->bucket, seg->height, seg->width,
+                        out_masks[done + i]);
+            if (out_accuracies) out_accuracies[done + i] = iou[i];
+        }
+        done += take;
+    }
+    return dlimg_success;
+}
+
 dlimg_Result pjrt_generate_masks(dlimg_Segmentation seg,
                                  float const* thresholds, int max_out,
                                  uint8_t* const* out_masks,
@@ -659,6 +764,67 @@ dlimg_Result api_get_mask(dlimg_Segmentation seg, int const* point,
   });
 }
 
+dlimg_Result api_compute_mask_batch(dlimg_Segmentation seg,
+                                    int const* prompts,
+                                    int const* is_region, int n,
+                                    uint8_t* const* out_masks,
+                                    float* out_accuracies) {
+  return try_([&]() -> dlimg_Result {
+    if (!seg || !prompts || !is_region || n <= 0 || !out_masks) {
+        set_error("compute_mask_batch: invalid arguments");
+        return dlimg_error;
+    }
+    if (seg->pjrt)
+        return pjrt_compute_mask_batch(seg, prompts, is_region, n,
+                                       out_masks, out_accuracies);
+    Gil gil;
+    PyObject* py_prompts = PyTuple_New(size_t(n) * 4);
+    PyObject* py_isreg = PyTuple_New(n);
+    PyObject* ptrs = py_prompts && py_isreg ? PyList_New(n) : nullptr;
+    if (!ptrs) {
+        PyErr_Clear();
+        Py_XDECREF(py_prompts);
+        Py_XDECREF(py_isreg);
+        set_error("compute_mask_batch: allocation failure");
+        return dlimg_error;
+    }
+    bool ok = true;
+    for (int i = 0; ok && i < 4 * n; ++i) {
+        PyObject* v = PyLong_FromLong(prompts[i]);
+        ok = v != nullptr;
+        if (ok) PyTuple_SET_ITEM(py_prompts, i, v);
+    }
+    for (int i = 0; ok && i < n; ++i) {
+        PyObject* v = PyLong_FromLong(is_region[i]);
+        PyObject* p = v ? PyLong_FromUnsignedLongLong(
+                              (unsigned long long)(uintptr_t)out_masks[i])
+                        : nullptr;
+        ok = p != nullptr;
+        if (!ok) {
+            Py_XDECREF(v);
+        } else {
+            PyTuple_SET_ITEM(py_isreg, i, v);
+            PyList_SetItem(ptrs, i, p);
+        }
+    }
+    if (!ok) {
+        PyErr_Clear();
+        Py_DECREF(py_prompts);
+        Py_DECREF(py_isreg);
+        Py_DECREF(ptrs);
+        set_error("compute_mask_batch: allocation failure");
+        return dlimg_error;
+    }
+    PyObject* r = bridge_call(
+        "compute_mask_batch",
+        Py_BuildValue("(ONNiNK)", seg->obj, py_prompts, py_isreg, n, ptrs,
+                      (unsigned long long)(uintptr_t)out_accuracies));
+    if (!r) return dlimg_error;
+    Py_DECREF(r);
+    return dlimg_success;
+  });
+}
+
 dlimg_Result api_generate_masks(dlimg_Segmentation seg,
                                 float const* thresholds, int max_masks,
                                 uint8_t* const* out_masks,
@@ -883,6 +1049,7 @@ dlimg_Api const api_table = {
     api_destroy_image,
     api_last_error,
     api_generate_masks,
+    api_compute_mask_batch,
 };
 
 }  // namespace

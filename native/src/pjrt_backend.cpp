@@ -108,6 +108,7 @@ struct Backend {
   std::vector<BirefProgram> birefnet_;
   int amg_grid_ = 0;   // 0 = bundle exported without --amg
   int amg_masks_ = 0;
+  std::vector<int> batch_sizes_;  // empty = no batch decode programs
   std::map<std::string, Exec> execs;
   std::mutex mu;  // serializes run/fetch (PJRT is thread-safe, but the
                   // lazy exec map and error strings are simpler guarded)
@@ -119,6 +120,7 @@ const std::vector<int>& buckets(Backend* b) { return b->buckets_; }
 const std::vector<BirefProgram>& birefnet(Backend* b) { return b->birefnet_; }
 int amg_grid(Backend* b) { return b->amg_grid_; }
 int amg_masks(Backend* b) { return b->amg_masks_; }
+const std::vector<int>& batch_sizes(Backend* b) { return b->batch_sizes_; }
 
 Backend* create(const std::string& bundle_dir, std::string* err) {
   auto be = std::make_unique<Backend>();
@@ -230,6 +232,12 @@ Backend* create(const std::string& bundle_dir, std::string* err) {
           be->amg_grid_ = std::stoi(val.substr(0, c));
           be->amg_masks_ = std::stoi(val.substr(c + 1));
         }
+      } else if (key == "batch") {
+        std::stringstream bs(val);
+        std::string tok;
+        while (std::getline(bs, tok, ','))
+          if (!tok.empty()) be->batch_sizes_.push_back(std::stoi(tok));
+        std::sort(be->batch_sizes_.begin(), be->batch_sizes_.end());
       } else if (key == "birefnet") {
         // kind:bucket:resolution, comma-separated
         std::stringstream bs(val);

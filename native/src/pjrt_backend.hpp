@@ -52,6 +52,11 @@ const std::vector<BirefProgram>& birefnet(Backend*);
 int amg_grid(Backend*);
 int amg_masks(Backend*);
 
+// Batched multi-prompt decode programs (exported with --batch-sizes):
+// program name is serve_decode_batch<nb>_<variant>_<bucket>. Empty when
+// the bundle has none; sorted ascending.
+const std::vector<int>& batch_sizes(Backend*);
+
 // Execute program `name` (lazy deserialize of <name>.pjrt). Outputs are
 // returned as device buffers; fetch() copies one to the host. Returns
 // false + err on failure.

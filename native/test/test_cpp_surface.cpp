@@ -211,6 +211,17 @@ int main() {
         CHECK(m.image.extent().width == 96 && is_binary_mask(m.image));
     }
 
+    // compute_mask_batch (extension): mixed point/box batch, one device
+    // program, per-prompt parity with the single-prompt entries.
+    std::vector<Segmentation::Prompt> prompts = {
+        Segmentation::Prompt(pt), Segmentation::Prompt(box)};
+    auto batched = seg.compute_mask_batch(prompts);
+    CHECK(batched.size() == 2);
+    CHECK(std::memcmp(batched[0].image.pixels(), point_mask.pixels(),
+                      point_mask.size()) == 0);
+    CHECK(std::memcmp(batched[1].image.pixels(), region_mask.pixels(),
+                      region_mask.size()) == 0);
+
     // Segmentation handle moves + nullptr ctor (:167).
     Segmentation null_seg(nullptr);
     CHECK(!null_seg);

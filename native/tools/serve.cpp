@@ -19,6 +19,10 @@
 // Concurrency: the C ABI is thread-safe (thread-local error state, GIL
 // discipline in embedded mode, lock-protected executable cache), so workers
 // call it directly; sessions are shared_ptrs held in an LRU-capped map.
+// With --batch-window-ms F (>0), concurrent single-prompt mask queries for
+// the same session are micro-batched through one batched decode program
+// (MaskBatcher below); /v1/stats then reports batched_calls /
+// batched_prompts / largest_batch.
 // Image bytes round-trip through mkstemp files because the stable ABI is
 // path-based (same contract as the reference's stb layer) — a few tens of
 // microseconds on tmpfs, irrelevant next to inference.
@@ -392,6 +396,106 @@ class Sessions {
 };
 
 // ---------------------------------------------------------------------------
+// Per-session prompt micro-batcher
+// ---------------------------------------------------------------------------
+//
+// Routes concurrent single-prompt mask queries for the SAME session through
+// one batched decode program (Segmentation::compute_mask_batch — one device
+// dispatch + one fetch for the whole group) instead of one program per
+// request. The first request for a session opens a collection window
+// (--batch-window-ms); requests arriving within it join the batch; the
+// opener executes and distributes results. Measured on chip the decode
+// program runs P=8 prompts in ~3.6 ms vs 8 x 0.53 ms sequential, so under
+// concurrency this trades <= window ms of added latency for ~mask-throughput
+// that scales with queue depth.
+class MaskBatcher {
+  public:
+    explicit MaskBatcher(double window_ms) : window_ms_(window_ms) {}
+
+    struct Counters {
+        uint64_t calls = 0;     // batched device dispatches
+        uint64_t prompts = 0;   // prompts served through them
+        uint64_t largest = 0;   // largest batch so far
+    };
+
+    dlimg::Segmentation::Mask
+    compute(std::shared_ptr<dlimg::Segmentation> const& seg,
+            dlimg::Segmentation::Prompt const& prompt) {
+        std::shared_ptr<Gen> gen;
+        size_t idx;
+        bool leader = false;
+        {
+            std::lock_guard<std::mutex> lock(mu_);
+            auto& slot = open_[seg.get()];
+            if (!slot) {
+                slot = std::make_shared<Gen>();
+                leader = true;
+            }
+            gen = slot;
+            idx = gen->prompts.size();
+            gen->prompts.push_back(prompt);
+        }
+        if (leader) {
+            std::this_thread::sleep_for(std::chrono::duration<double,
+                                                              std::milli>(
+                window_ms_));
+            std::vector<dlimg::Segmentation::Prompt> prompts;
+            {
+                std::lock_guard<std::mutex> lock(mu_);
+                auto it = open_.find(seg.get());
+                if (it != open_.end() && it->second == gen)
+                    open_.erase(it);  // later arrivals start a new batch
+                prompts = gen->prompts;
+            }
+            std::vector<dlimg::Segmentation::Mask> results;
+            std::string error;
+            try {
+                results = seg->compute_mask_batch(prompts);
+            } catch (std::exception const& e) {
+                error = e.what();
+            }
+            {
+                std::lock_guard<std::mutex> lock(mu_);
+                gen->results = std::move(results);
+                gen->error = std::move(error);
+                gen->done = true;
+                counters_.calls += 1;
+                counters_.prompts += prompts.size();
+                counters_.largest =
+                    std::max(counters_.largest, uint64_t(prompts.size()));
+            }
+            gen->cv.notify_all();
+        } else {
+            std::unique_lock<std::mutex> lock(mu_);
+            gen->cv.wait(lock, [&] { return gen->done; });
+        }
+        std::lock_guard<std::mutex> lock(mu_);
+        if (!gen->error.empty())
+            throw dlimg::Exception(gen->error);
+        // Each waiter owns exactly one slot, so moving out is safe.
+        return std::move(gen->results[idx]);
+    }
+
+    Counters counters() const {
+        std::lock_guard<std::mutex> lock(mu_);
+        return counters_;
+    }
+
+  private:
+    struct Gen {
+        std::vector<dlimg::Segmentation::Prompt> prompts;
+        std::vector<dlimg::Segmentation::Mask> results;
+        std::string error;
+        bool done = false;
+        std::condition_variable cv;
+    };
+    double window_ms_;
+    mutable std::mutex mu_;
+    std::unordered_map<void*, std::shared_ptr<Gen>> open_;
+    Counters counters_;
+};
+
+// ---------------------------------------------------------------------------
 // Server
 // ---------------------------------------------------------------------------
 
@@ -406,6 +510,7 @@ struct Config {
     std::string models = "models";
     int threads = 4;
     size_t max_sessions = 8;
+    double batch_window_ms = 0;  // >0 enables per-session prompt batching
 };
 
 class Server {
@@ -426,6 +531,8 @@ class Server {
         backend_name_ = opts.backend == Backend::gpu ? "gpu" : "cpu";
         opts.model_directory = cfg_.models.c_str();
         env_ = std::make_unique<Environment>(opts);
+        if (cfg_.batch_window_ms > 0)
+            batcher_ = std::make_unique<MaskBatcher>(cfg_.batch_window_ms);
     }
 
     int run() {
@@ -557,7 +664,17 @@ class Server {
         if (req.path == "/v1/stats") {
             double up = std::chrono::duration<double>(Clock::now() - start_)
                             .count();
-            return Response::json(200, stats_.to_json(up));
+            std::string out = stats_.to_json(up);
+            if (batcher_) {  // splice batching counters into the JSON root
+                auto c = batcher_->counters();
+                out.insert(out.size() - 1,
+                           ",\"batched_calls\":" + std::to_string(c.calls) +
+                               ",\"batched_prompts\":" +
+                               std::to_string(c.prompts) +
+                               ",\"largest_batch\":" +
+                               std::to_string(c.largest));
+            }
+            return Response::json(200, out);
         }
         if (req.path == "/v1/sessions")
             return expect(req, "POST") ? create_session(req)
@@ -641,9 +758,10 @@ class Server {
         return *p == '\0';
     }
 
-    static Response mask_for(dlimg::Segmentation const& seg,
-                             Request const& req) {
+    Response mask_for(std::shared_ptr<dlimg::Segmentation> const& seg_ptr,
+                      Request const& req) {
         using namespace dlimg;
+        Segmentation const& seg = *seg_ptr;
         int v[4];
         bool is_box = false;
         if (!parse_prompt(req, v, &is_box))
@@ -662,6 +780,14 @@ class Server {
                        b64(encode_png(ImageView(masks[i].image))) + "\"}";
             }
             return Response::json(200, out + "]}");
+        }
+        if (batcher_) {
+            Segmentation::Prompt prompt =
+                is_box ? Segmentation::Prompt(Region{Point{v[0], v[1]},
+                                                     Point{v[2], v[3]}})
+                       : Segmentation::Prompt(Point{v[0], v[1]});
+            auto mask = batcher_->compute(seg_ptr, prompt);
+            return Response::png(encode_png(ImageView(mask.image)));
         }
         Image mask = is_box ? seg.compute_mask(Region{Point{v[0], v[1]},
                                                       Point{v[2], v[3]}})
@@ -683,7 +809,7 @@ class Server {
             auto seg = sessions_.get(id);
             if (!seg)
                 return Response::error(404, "no such session");
-            return mask_for(*seg, req);
+            return mask_for(seg, req);
         }
         return Response::error(404, "no such endpoint");
     }
@@ -729,6 +855,7 @@ class Server {
     std::unique_ptr<dlimg::Environment> env_;
     std::string backend_name_;
     Sessions sessions_;
+    std::unique_ptr<MaskBatcher> batcher_;
     Stats stats_;
     Clock::time_point start_;
     std::mutex qmu_;
@@ -762,11 +889,14 @@ int main(int argc, char** argv) {
             cfg.threads = std::max(1, std::atoi(next()));
         else if (arg == "--max-sessions")
             cfg.max_sessions = size_t(std::max(1, std::atoi(next())));
+        else if (arg == "--batch-window-ms")
+            cfg.batch_window_ms = std::atof(next());
         else {
             std::fprintf(stderr,
                          "usage: dlimg-serve [--port N] [--host IP] "
                          "[--backend cpu|gpu|auto] [--models DIR] "
-                         "[--threads N] [--max-sessions N]\n");
+                         "[--threads N] [--max-sessions N] "
+                         "[--batch-window-ms F]\n");
             return 2;
         }
     }

@@ -67,6 +67,11 @@ class DlimgApi(ctypes.Structure):
             ctypes.c_int, ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int))),
+        ("compute_mask_batch", ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_float))),
     ]
 
 
@@ -190,6 +195,57 @@ def test_generate_masks_abi(api, env):
         assert rc == 1
     finally:
         os.environ.pop("DLIMG_AMG_GRID", None)
+        api.destroy_segmentation(seg)
+
+
+def test_compute_mask_batch_abi(api, env):
+    """The appended compute_mask_batch entry: a mixed point/box batch
+    through one device program matches per-prompt get_segmentation_mask
+    (the Python layer pins batch-vs-individual parity in
+    test_segmentation.py; this covers the C marshalling on top)."""
+    rng = np.random.default_rng(7)
+    arr = np.ascontiguousarray(
+        rng.integers(0, 256, (48, 64, 4), dtype=np.uint8))
+    seg = ctypes.c_void_p()
+    view = _view(arr, 4)
+    rc = api.process_image_for_segmentation(ctypes.byref(seg),
+                                            ctypes.byref(view), env)
+    assert rc == 0, api.last_error().decode()
+    try:
+        prompts = [(32, 24, 0, 0), (10, 10, 0, 0), (5, 5, 60, 40)]
+        is_region = [0, 0, 1]
+        n = len(prompts)
+        flat = (ctypes.c_int * (4 * n))(*[v for p in prompts for v in p])
+        reg = (ctypes.c_int * n)(*is_region)
+        bufs = [np.zeros(48 * 64, np.uint8) for _ in range(n)]
+        ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(
+            *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+              for b in bufs])
+        acc = (ctypes.c_float * n)()
+        rc = api.compute_mask_batch(seg, flat, reg, n, ptrs, acc)
+        assert rc == 0, api.last_error().decode()
+
+        # Per-prompt oracle through the single-mask entry.
+        for i in range(n):
+            single = np.zeros(48 * 64, np.uint8)
+            out1 = (ctypes.POINTER(ctypes.c_uint8) * 3)(
+                single.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                None, None)
+            a1 = (ctypes.c_float * 3)()
+            if is_region[i]:
+                region = (ctypes.c_int * 4)(*prompts[i])
+                rc = api.get_segmentation_mask(seg, None, region, out1, a1)
+            else:
+                point = (ctypes.c_int * 2)(*prompts[i][:2])
+                rc = api.get_segmentation_mask(seg, point, None, out1, a1)
+            assert rc == 0, api.last_error().decode()
+            np.testing.assert_array_equal(bufs[i], single)
+
+        # Invalid args surface as errors, not crashes.
+        assert api.compute_mask_batch(seg, flat, reg, 0, ptrs, acc) == 1
+        assert api.compute_mask_batch(None, flat, reg, n, ptrs, acc) == 1
+        assert api.compute_mask_batch(seg, None, reg, n, ptrs, acc) == 1
+    finally:
         api.destroy_segmentation(seg)
 
 

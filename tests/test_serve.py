@@ -270,6 +270,88 @@ def test_concurrent_mask_queries(server):
 
 
 @pytest.fixture(scope="module")
+def batch_server():
+    """dlimg-serve with per-session prompt micro-batching enabled
+    (--batch-window-ms): concurrent single-prompt queries for one session
+    ride a single batched decode program."""
+    from _native_build import ensure_native_build
+
+    ensure_native_build(BIN)
+    env = dict(os.environ)
+    env.update({
+        "DLIMG_ALLOW_RANDOM_WEIGHTS": "1",
+        "DLIMG_SAM_IMAGE_SIZE": SAM_SIZE,
+        "DLIMG_COMPUTE_DTYPE": "float32",
+        "DLIMG_COMPILATION_CACHE": str(CACHE),
+        "DLIMG_BIREFNET_RESOLUTION": BIREFNET_RES,
+        "DLIMG_BIREFNET_TEST_SLIM": "1",
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": str(REPO),
+    })
+    proc = subprocess.Popen(
+        [str(BIN), "--port", "0", "--backend", "cpu", "--threads", "4",
+         "--batch-window-ms", "300"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    port = _read_port(proc)
+    yield f"http://127.0.0.1:{port}"
+    _stop(proc)
+
+
+def test_batched_mask_queries(batch_server):
+    """Concurrent queries are grouped into one batched decode (stats prove
+    it) and every client still gets the correct mask for ITS prompt."""
+    server = batch_server
+    st, body, _ = _req(server, "POST", "/v1/sessions",
+                       _png_bytes(_test_image()))
+    assert st == 200, body
+    sid = json.loads(body)["id"]
+
+    # Warm the decode path once (compile outside the timed window).
+    st, warm, _ = _req(server, "POST",
+                       f"/v1/sessions/{sid}/mask?point=32,24")
+    assert st == 200
+
+    points = [(32, 24), (20, 20), (48, 30), (32, 24)]
+    results = [None] * len(points)
+    errors = []
+
+    def query(i):
+        try:
+            x, y = points[i]
+            st, data, _ = _req(server, "POST",
+                               f"/v1/sessions/{sid}/mask?point={x},{y}")
+            assert st == 200, data
+            results[i] = data
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=query, args=(i,))
+               for i in range(len(points))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # Identical prompts agree; the repeated point matches the warm query
+    # (batched decode parity with the single path is pinned at the Python
+    # layer, test_segmentation.py).
+    assert results[0] == results[3] == warm
+
+    st, body, _ = _req(server, "GET", "/v1/stats")
+    stats = json.loads(body)
+    assert stats["batched_calls"] >= 1
+    assert stats["batched_prompts"] >= len(points) + 1
+    # At least one multi-prompt group formed under the 300 ms window.
+    assert stats["largest_batch"] >= 2
+
+    # Box prompts ride the batcher too.
+    st, body, ct = _req(server, "POST",
+                        f"/v1/sessions/{sid}/mask?box=5,5,60,40")
+    assert st == 200 and ct == "image/png"
+    _req(server, "DELETE", f"/v1/sessions/{sid}")
+
+
+@pytest.fixture(scope="module")
 def bundle_server(tmp_path_factory):
     """dlimg-serve in the Python-free PJRT serving mode: a CPU bundle from
     tools/aot_export.py, loaded through the repo's own CPU PJRT plugin —
@@ -293,12 +375,13 @@ def bundle_server(tmp_path_factory):
         [sys.executable, str(REPO / "tools" / "aot_export.py"),
          "--out", str(bundle), "--program", "serving", "--backend", "cpu",
          "--variant", "mobile_sam", "--sam-image-size", SAM_SIZE,
-         "--buckets", "128"],
+         "--buckets", "128", "--batch-sizes", "2"],
         capture_output=True, text=True, timeout=1200, env=env, cwd=REPO)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     env["DLIMG_PJRT_BUNDLE"] = str(bundle)
     proc = subprocess.Popen(
-        [str(BIN), "--port", "0", "--backend", "auto", "--threads", "2"],
+        [str(BIN), "--port", "0", "--backend", "auto", "--threads", "3",
+         "--batch-window-ms", "300"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     port = _read_port(proc)
     yield f"http://127.0.0.1:{port}"
@@ -326,6 +409,48 @@ def test_bundle_mode_serving(bundle_server):
                        f"/v1/sessions/{sid}/mask?point=32,24&all=1")
     assert st == 200
     assert len(json.loads(body)["masks"]) == 3
+
+
+def test_bundle_mode_batched_queries(bundle_server):
+    """Micro-batching in the Python-free PJRT mode: concurrent queries ride
+    the bundle's serve_decode_batch2 program (pjrt_compute_mask_batch —
+    padding + the >nb chunking loop included, 3 prompts over nb=2)."""
+    st, body, _ = _req(bundle_server, "POST", "/v1/sessions",
+                       _png_bytes(_test_image()))
+    assert st == 200, body
+    sid = json.loads(body)["id"]
+    st, warm, _ = _req(bundle_server, "POST",
+                       f"/v1/sessions/{sid}/mask?point=32,24")
+    assert st == 200
+
+    points = [(32, 24), (20, 20), (32, 24)]
+    results = [None] * len(points)
+    errors = []
+
+    def query(i):
+        try:
+            x, y = points[i]
+            st, data, _ = _req(bundle_server, "POST",
+                               f"/v1/sessions/{sid}/mask?point={x},{y}")
+            assert st == 200, data
+            results[i] = data
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=query, args=(i,))
+               for i in range(len(points))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert results[0] == results[2] == warm
+
+    st, body, _ = _req(bundle_server, "GET", "/v1/stats")
+    stats = json.loads(body)
+    assert stats["batched_calls"] >= 1
+    assert stats["largest_batch"] >= 2
+    _req(bundle_server, "DELETE", f"/v1/sessions/{sid}")
 
 
 def test_stats(server):

@@ -356,17 +356,22 @@ def cmd_tinyvit_stages(dev):
         prev = ms
 
 
-def cmd_birefnet(dev):
+def cmd_birefnet(dev, only_res=0, exact_only=False):
     """BiRefNet full graph at both runtime resolutions (general @1024,
     high_res @2048 — segmentation.cpp:222-225 escalation), exact vs the
-    opt-in int8 deform-gather path (Options.birefnet_int8_deform)."""
+    opt-in int8 deform-gather path (Options.birefnet_int8_deform).
+    only_res (--res) restricts to one resolution and --exact skips the
+    int8 leg — used for focused A/Bs like the DLIMG_DEFORM_COL_TILES
+    2-D banding experiment."""
     import dataclasses as dc
 
     from dlimgedit_tpu.models import birefnet
 
     for res in (1024, 2048):
+        if only_res and res != only_res:
+            continue
         x = jax.device_put(_img(res), dev)
-        for int8 in (False, True):
+        for int8 in ((False,) if exact_only else (False, True)):
             cfg = dc.replace(birefnet.BiRefNetConfig(img_size=res),
                              deform_int8_gather=int8)
             p = jax.device_put(_bf16(birefnet.init_birefnet(
@@ -808,7 +813,10 @@ def main(argv=None) -> int:
     ap.add_argument("--grid", type=int, default=32,
                     help="amg: prompt-grid side (grid^2 points)")
     ap.add_argument("--res", type=int, default=1024,
-                    help="birefnet-l1: canvas resolution (1024 or 2048)")
+                    help="birefnet-l1: canvas resolution (1024 or 2048); "
+                         "birefnet: 0 = both (default), else restrict")
+    ap.add_argument("--exact", action="store_true",
+                    help="birefnet: skip the int8-deform leg")
     ap.add_argument("--variant", default=None,
                     help="encoder variant (mfu/vit-prefix default vit_h; "
                          "batch defaults mobile_sam)")
@@ -837,8 +845,12 @@ def main(argv=None) -> int:
     if args.command == "amg":
         cmd_amg(dev, variant=args.variant or "mobile_sam", grid=args.grid)
         return 0
+    if args.command == "birefnet":
+        cmd_birefnet(dev, only_res=args.res if args.res in (1024, 2048)
+                     and "--res" in (argv or sys.argv) else 0,
+                     exact_only=args.exact)
+        return 0
     {"attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages,
-     "birefnet": cmd_birefnet,
      "birefnet-stages": cmd_birefnet_stages,
      }[args.command](dev)
     return 0
