@@ -46,6 +46,7 @@
 #include <memory>
 #include <mutex>
 #include <random>
+#include <set>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -402,15 +403,22 @@ class Sessions {
 // Routes concurrent single-prompt mask queries for the SAME session through
 // one batched decode program (Segmentation::compute_mask_batch — one device
 // dispatch + one fetch for the whole group) instead of one program per
-// request. The first request for a session opens a collection window
-// (--batch-window-ms); requests arriving within it join the batch; the
-// opener executes and distributes results. Measured on chip the decode
-// program runs P=8 prompts in ~3.6 ms vs 8 x 0.53 ms sequential, so under
-// concurrency this trades <= window ms of added latency for ~mask-throughput
-// that scales with queue depth.
+// request.
+//
+// Batching is EXECUTION-GATED (continuous batching), not fixed-window:
+// while a batch for a session is in flight, every arrival for that session
+// queues into the next generation, and when the in-flight batch returns the
+// whole queue ships as one program. Under sustained concurrency the batch
+// size therefore converges on the per-session queue depth with no added
+// latency. The --batch-window-ms value is only the IDLE grace: when nothing
+// is in flight, the first arrival waits that long for near-simultaneous
+// peers before dispatching (a fixed sleep-window design measured on chip
+// grouped almost nothing — arrivals synchronize to completions, so the
+// in-flight period, not a timer, is the natural collection window).
 class MaskBatcher {
   public:
-    explicit MaskBatcher(double window_ms) : window_ms_(window_ms) {}
+    MaskBatcher(double window_ms, int batch_max)
+        : window_ms_(window_ms), batch_max_(size_t(batch_max)) {}
 
     struct Counters {
         uint64_t calls = 0;     // batched device dispatches
@@ -421,36 +429,53 @@ class MaskBatcher {
     dlimg::Segmentation::Mask
     compute(std::shared_ptr<dlimg::Segmentation> const& seg,
             dlimg::Segmentation::Prompt const& prompt) {
+        void* key = seg.get();
         std::shared_ptr<Gen> gen;
+        std::shared_ptr<Entry> entry;
         size_t idx;
         bool leader = false;
         {
-            std::lock_guard<std::mutex> lock(mu_);
-            auto& slot = open_[seg.get()];
-            if (!slot) {
-                slot = std::make_shared<Gen>();
+            std::unique_lock<std::mutex> lock(mu_);
+            auto& slot = state_[key];
+            if (!slot)
+                slot = std::make_shared<Entry>();
+            entry = slot;
+            // A full generation stops accepting; later arrivals start the
+            // next one (bounds the batch to the largest pre-warmed padded
+            // program — an unbounded batch discovers new padded sizes at
+            // runtime, each a multi-second on-the-fly compile).
+            if (entry->open && entry->open->prompts.size() >= batch_max_)
+                entry->open = nullptr;
+            if (!entry->open) {
+                entry->open = std::make_shared<Gen>();
                 leader = true;
             }
-            gen = slot;
+            gen = entry->open;
             idx = gen->prompts.size();
             gen->prompts.push_back(prompt);
+            if (leader) {
+                if (entry->busy) {
+                    // Collect for as long as the in-flight batch runs.
+                    entry->busy_cv.wait(lock,
+                                        [&] { return !entry->busy; });
+                } else if (window_ms_ > 0) {
+                    // Idle: give near-simultaneous peers a brief window.
+                    lock.unlock();
+                    std::this_thread::sleep_for(
+                        std::chrono::duration<double, std::milli>(
+                            window_ms_));
+                    lock.lock();
+                }
+                if (entry->open == gen)
+                    entry->open = nullptr;  // later arrivals: next gen
+                entry->busy = true;
+            }
         }
         if (leader) {
-            std::this_thread::sleep_for(std::chrono::duration<double,
-                                                              std::milli>(
-                window_ms_));
-            std::vector<dlimg::Segmentation::Prompt> prompts;
-            {
-                std::lock_guard<std::mutex> lock(mu_);
-                auto it = open_.find(seg.get());
-                if (it != open_.end() && it->second == gen)
-                    open_.erase(it);  // later arrivals start a new batch
-                prompts = gen->prompts;
-            }
             std::vector<dlimg::Segmentation::Mask> results;
             std::string error;
             try {
-                results = seg->compute_mask_batch(prompts);
+                results = seg->compute_mask_batch(gen->prompts);
             } catch (std::exception const& e) {
                 error = e.what();
             }
@@ -459,12 +484,14 @@ class MaskBatcher {
                 gen->results = std::move(results);
                 gen->error = std::move(error);
                 gen->done = true;
+                entry->busy = false;
                 counters_.calls += 1;
-                counters_.prompts += prompts.size();
-                counters_.largest =
-                    std::max(counters_.largest, uint64_t(prompts.size()));
+                counters_.prompts += gen->prompts.size();
+                counters_.largest = std::max(counters_.largest,
+                                             uint64_t(gen->prompts.size()));
             }
             gen->cv.notify_all();
+            entry->busy_cv.notify_all();
         } else {
             std::unique_lock<std::mutex> lock(mu_);
             gen->cv.wait(lock, [&] { return gen->done; });
@@ -489,9 +516,15 @@ class MaskBatcher {
         bool done = false;
         std::condition_variable cv;
     };
+    struct Entry {                // per-session batching state
+        std::shared_ptr<Gen> open;  // collecting generation (if any)
+        bool busy = false;          // a batch for this session in flight
+        std::condition_variable busy_cv;
+    };
     double window_ms_;
+    size_t batch_max_;
     mutable std::mutex mu_;
-    std::unordered_map<void*, std::shared_ptr<Gen>> open_;
+    std::unordered_map<void*, std::shared_ptr<Entry>> state_;
     Counters counters_;
 };
 
@@ -511,6 +544,9 @@ struct Config {
     int threads = 4;
     size_t max_sessions = 8;
     double batch_window_ms = 0;  // >0 enables per-session prompt batching
+    int batch_max = 8;           // cap on one batched dispatch (pow2)
+    bool batch_warm = false;     // pre-compile pow2 batch programs on
+                                 // first session per image size
 };
 
 class Server {
@@ -532,7 +568,8 @@ class Server {
         opts.model_directory = cfg_.models.c_str();
         env_ = std::make_unique<Environment>(opts);
         if (cfg_.batch_window_ms > 0)
-            batcher_ = std::make_unique<MaskBatcher>(cfg_.batch_window_ms);
+            batcher_ = std::make_unique<MaskBatcher>(cfg_.batch_window_ms,
+                                                     cfg_.batch_max);
     }
 
     int run() {
@@ -635,6 +672,30 @@ class Server {
         send_response(fd, resp);
     }
 
+    // Pre-compile every padded batch-decode program this server can reach
+    // (pow2 up to --batch-max) the first time a given image size appears —
+    // otherwise a new batch size discovered under live traffic stalls the
+    // whole queue on a multi-second compile (measured: 54 s through the
+    // TPU tunnel when a burst first produced a batch of 5-8). With a
+    // persistent compilation cache this costs compile time once ever.
+    void warm_batch_programs(dlimg::Segmentation const& seg,
+                             dlimg::Extent e) {
+        {
+            std::lock_guard<std::mutex> lock(warm_mu_);
+            uint64_t key = (uint64_t(uint32_t(e.width)) << 32) |
+                           uint32_t(e.height);
+            if (!warmed_.insert(key).second)
+                return;
+        }
+        using namespace dlimg;
+        Point center{e.width / 2, e.height / 2};
+        for (int n = 2; n <= cfg_.batch_max; n *= 2) {
+            std::vector<Segmentation::Prompt> prompts;
+            prompts.assign(size_t(n), Segmentation::Prompt(center));
+            seg.compute_mask_batch(prompts);
+        }
+    }
+
     // Collapse session ids out of the stats key.
     static std::string stat_key(std::string const& path) {
         if (path.rfind("/v1/sessions/", 0) == 0) {
@@ -717,6 +778,8 @@ class Server {
         Image img = decode_body(req);
         auto seg = Segmentation::process(ImageView(img), *env_);
         auto e = seg.extent();
+        if (batcher_ && cfg_.batch_warm)
+            warm_batch_programs(seg, e);
         std::string id = sessions_.add(std::move(seg));
         return Response::json(200, "{\"id\":\"" + id +
                                        "\",\"width\":" +
@@ -856,6 +919,8 @@ class Server {
     std::string backend_name_;
     Sessions sessions_;
     std::unique_ptr<MaskBatcher> batcher_;
+    std::mutex warm_mu_;
+    std::set<uint64_t> warmed_;
     Stats stats_;
     Clock::time_point start_;
     std::mutex qmu_;
@@ -891,12 +956,17 @@ int main(int argc, char** argv) {
             cfg.max_sessions = size_t(std::max(1, std::atoi(next())));
         else if (arg == "--batch-window-ms")
             cfg.batch_window_ms = std::atof(next());
+        else if (arg == "--batch-max")
+            cfg.batch_max = std::max(1, std::atoi(next()));
+        else if (arg == "--batch-warm")
+            cfg.batch_warm = std::atoi(next()) != 0;
         else {
             std::fprintf(stderr,
                          "usage: dlimg-serve [--port N] [--host IP] "
                          "[--backend cpu|gpu|auto] [--models DIR] "
                          "[--threads N] [--max-sessions N] "
-                         "[--batch-window-ms F]\n");
+                         "[--batch-window-ms F] [--batch-max N] "
+                         "[--batch-warm 0|1]\n");
             return 2;
         }
     }
