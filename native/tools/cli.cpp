@@ -9,8 +9,13 @@
 //   dlimg segment <image> --point X,Y [--point ...] [--box X0,Y0,X1,Y1]
 //         [-o OUT.png] [--all] [--cutout] [--backend cpu|gpu] [--models DIR]
 //   dlimg remove-bg <image> [-o OUT.png] [--cutout]
+//   dlimg segment-all <image> [-o OUT.png] [--max-masks N] [--iou F]
+//         [--stability F] [--nms F] [--cutout]        (automatic masks)
 //   dlimg apply-mask <image> <mask.png> [-o OUT.png]   (no model: RGBA cutout)
 //   dlimg info                                         (backend/mode probe)
+//
+// Multiple --point/--box prompts to `segment` decode in ONE batched device
+// program (Segmentation::compute_mask_batch).
 //
 // `--time` prints per-phase wall milliseconds on stderr.
 
@@ -46,6 +51,8 @@ void phase(char const* name, Clock::time_point t0) {
         "  dlimg segment <image> (--point X,Y | --box X0,Y0,X1,Y1)...\n"
         "        [-o OUT.png] [--all] [--cutout]\n"
         "  dlimg remove-bg <image> [-o OUT.png] [--cutout]\n"
+        "  dlimg segment-all <image> [-o OUT.png] [--max-masks N] [--iou F]\n"
+        "        [--stability F] [--nms F] [--cutout]\n"
         "  dlimg apply-mask <image> <mask.png> [-o OUT.png]\n"
         "  dlimg info\n"
         "common: --backend cpu|gpu|auto  --models DIR  --time\n");
@@ -131,6 +138,10 @@ struct Args {
     std::string models = "models";
     bool all = false;
     bool cutout = false;
+    int max_masks = 64;        // segment-all
+    float iou = 0.88f;
+    float stability = 0.95f;
+    float nms = 0.7f;
 };
 
 Args parse(int argc, char** argv) {
@@ -164,6 +175,14 @@ Args parse(int argc, char** argv) {
             a.models = next();
         } else if (arg == "--all") {
             a.all = true;
+        } else if (arg == "--max-masks") {
+            a.max_masks = std::max(1, std::atoi(next()));
+        } else if (arg == "--iou") {
+            a.iou = float(std::atof(next()));
+        } else if (arg == "--stability") {
+            a.stability = float(std::atof(next()));
+        } else if (arg == "--nms") {
+            a.nms = float(std::atof(next()));
         } else if (arg == "--cutout") {
             a.cutout = true;
         } else if (arg == "--time") {
@@ -258,23 +277,82 @@ int cmd_segment(Args const& a) {
         return 0;
     }
 
-    for (size_t i = 0; i < a.prompts.size(); ++i) {
-        Prompt const& p = a.prompts[i];
+    if (a.prompts.size() > 1) {
+        // Many prompts: ONE batched device program for all of them.
+        std::vector<Segmentation::Prompt> prompts;
+        prompts.reserve(a.prompts.size());
+        for (Prompt const& p : a.prompts) {
+            if (p.is_box)
+                prompts.push_back(Segmentation::Prompt(
+                    Region{Point{p.v[0], p.v[1]}, Point{p.v[2], p.v[3]}}));
+            else
+                prompts.push_back(
+                    Segmentation::Prompt(Point{p.v[0], p.v[1]}));
+        }
         t0 = Clock::now();
-        Image mask = p.is_box
-                         ? seg.compute_mask(Region{Point{p.v[0], p.v[1]},
-                                                   Point{p.v[2], p.v[3]}})
-                         : seg.compute_mask(Point{p.v[0], p.v[1]});
-        phase("mask", t0);
-        std::string path =
-            a.prompts.size() == 1 ? out : with_index(out, int(i));
+        auto masks = seg.compute_mask_batch(prompts);
+        phase("masks", t0);
+        for (size_t i = 0; i < masks.size(); ++i) {
+            std::string path = with_index(out, int(i));
+            if (a.cutout)
+                Image::save(ImageView(make_cutout(
+                                view, masks[i].image.pixels())),
+                            path.c_str());
+            else
+                Image::save(ImageView(masks[i].image), path.c_str());
+            std::printf("%s\n", path.c_str());
+        }
+        return 0;
+    }
+
+    Prompt const& p = a.prompts[0];
+    t0 = Clock::now();
+    Image mask = p.is_box
+                     ? seg.compute_mask(Region{Point{p.v[0], p.v[1]},
+                                               Point{p.v[2], p.v[3]}})
+                     : seg.compute_mask(Point{p.v[0], p.v[1]});
+    phase("mask", t0);
+    if (a.cutout)
+        Image::save(ImageView(make_cutout(view, mask.pixels())),
+                    out.c_str());
+    else
+        Image::save(ImageView(mask), out.c_str());
+    std::printf("%s\n", out.c_str());
+    return 0;
+}
+
+// Automatic mask generation ("segment everything"): every object mask of
+// the image, best-first (Segmentation::generate_masks; runtime/amg.py runs
+// the whole pipeline as one device program).
+int cmd_segment_all(Args const& a) {
+    using namespace dlimg;
+    if (a.positional.size() != 1)
+        usage("segment-all expects exactly one input image");
+    auto env = make_env(a);
+    auto t0 = Clock::now();
+    Image input = Image::load(a.positional[0].c_str());
+    phase("load", t0);
+    ImageView view(input);
+    t0 = Clock::now();
+    auto seg = Segmentation::process(view, env);
+    phase("process", t0);
+    t0 = Clock::now();
+    auto masks = seg.generate_masks(a.iou, a.stability, a.nms, a.max_masks);
+    phase("generate", t0);
+    std::string out =
+        a.out.empty() ? default_out(a.positional[0], "_obj") : a.out;
+    for (size_t i = 0; i < masks.size(); ++i) {
+        std::string path = with_index(out, int(i));
         if (a.cutout)
-            Image::save(ImageView(make_cutout(view, mask.pixels())),
+            Image::save(ImageView(make_cutout(view,
+                                              masks[i].image.pixels())),
                         path.c_str());
         else
-            Image::save(ImageView(mask), path.c_str());
-        std::printf("%s\n", path.c_str());
+            Image::save(ImageView(masks[i].image), path.c_str());
+        std::printf("%s accuracy=%.4f\n", path.c_str(), masks[i].accuracy);
     }
+    if (masks.empty())
+        std::printf("no masks passed the thresholds\n");
     return 0;
 }
 
@@ -335,6 +413,8 @@ int main(int argc, char** argv) {
             return cmd_segment(a);
         if (a.command == "remove-bg")
             return cmd_remove_bg(a);
+        if (a.command == "segment-all")
+            return cmd_segment_all(a);
         if (a.command == "apply-mask")
             return cmd_apply_mask(a);
         usage(("unknown command " + a.command).c_str());

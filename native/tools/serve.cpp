@@ -9,6 +9,8 @@
 //   POST   /v1/sessions                   image bytes -> {"id","width","height"}
 //   POST   /v1/sessions/<id>/mask?point=X,Y | box=X0,Y0,X1,Y1   -> PNG mask
 //   POST   /v1/sessions/<id>/mask?point=X,Y&all=1 -> JSON 3 masks + accuracies
+//   POST   /v1/sessions/<id>/auto-masks[?iou=F&stability=F&nms=F&max=N]
+//                                         -> JSON all object masks, best-first
 //   DELETE /v1/sessions/<id>              -> 204
 //   POST   /v1/segment?point=X,Y          one-shot embed+mask -> PNG mask
 //   POST   /v1/remove-bg[?cutout=1]       BiRefNet -> PNG mask (or RGBA cutout)
@@ -874,7 +876,43 @@ class Server {
                 return Response::error(404, "no such session");
             return mask_for(seg, req);
         }
+        if (req.method == "POST" && op == "auto-masks") {
+            auto seg = sessions_.get(id);
+            if (!seg)
+                return Response::error(404, "no such session");
+            return auto_masks_for(*seg, req);
+        }
         return Response::error(404, "no such endpoint");
+    }
+
+    // Automatic mask generation over a session
+    // (Segmentation::generate_masks — one device program).
+    static Response auto_masks_for(dlimg::Segmentation const& seg,
+                                   Request const& req) {
+        using namespace dlimg;
+        auto num = [&](char const* key, float dflt) {
+            auto it = req.params.find(key);
+            return it == req.params.end() ? dflt
+                                          : float(std::atof(
+                                                it->second.c_str()));
+        };
+        float iou = num("iou", 0.88f);
+        float stability = num("stability", 0.95f);
+        float nms = num("nms", 0.7f);
+        int max_masks = int(num("max", 64.0f));
+        if (max_masks < 1 || max_masks > 1024)
+            return Response::error(400, "max must be in [1, 1024]");
+        auto masks = seg.generate_masks(iou, stability, nms, max_masks);
+        std::string out = "{\"masks\":[";
+        for (size_t i = 0; i < masks.size(); ++i) {
+            char acc[32];
+            std::snprintf(acc, sizeof acc, "%.4f", masks[i].accuracy);
+            out += std::string(i ? "," : "") + "{\"accuracy\":" + acc +
+                   ",\"png_base64\":\"" +
+                   b64(encode_png(dlimg::ImageView(masks[i].image))) +
+                   "\"}";
+        }
+        return Response::json(200, out + "]}");
     }
 
     Response one_shot_segment(Request const& req) {

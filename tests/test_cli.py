@@ -142,3 +142,38 @@ def test_cli_segment_end_to_end(tmp_path):
     assert len(lines) == 3
     cut = _read_png(tmp_path / "m_1.png")
     assert cut.shape == (48, 64, 4)  # --cutout: RGBA with mask alpha
+
+
+def test_cli_segment_all(tmp_path):
+    """Automatic mask generation from the CLI (dlimg segment-all), hermetic:
+    tiny grid via DLIMG_AMG_GRID, permissive thresholds, indexed outputs
+    with accuracies best-first."""
+    _ensure_cli()
+    rgb = np.zeros((48, 64, 3), np.uint8)
+    rgb[12:36, 16:48] = [200, 40, 40]
+    _write_png(tmp_path / "in.png", rgb)
+    env = dict(os.environ)
+    env.update({
+        "DLIMG_ALLOW_RANDOM_WEIGHTS": "1",
+        "DLIMG_SAM_IMAGE_SIZE": "64",
+        "DLIMG_COMPUTE_DTYPE": "float32",
+        "DLIMG_COMPILATION_CACHE": str(CACHE),
+        "DLIMG_AMG_GRID": "4",  # tiny grid: fast CPU compile
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": str(REPO),
+    })
+    out = tmp_path / "obj.png"
+    r = subprocess.run(
+        [str(BIN), "segment-all", str(tmp_path / "in.png"), "--backend",
+         "cpu", "--iou", "0.0", "--stability", "0.0", "--max-masks", "4",
+         "-o", str(out), "--time"],
+        env=env, capture_output=True, text=True, timeout=540)
+    assert r.returncode == 0, r.stderr[-1000:]
+    lines = [l for l in r.stdout.splitlines() if "accuracy=" in l]
+    assert 1 <= len(lines) <= 4
+    accs = [float(l.split("accuracy=")[1]) for l in lines]
+    assert accs == sorted(accs, reverse=True)
+    m0 = _read_png(tmp_path / "obj_0.png")
+    assert m0.shape == (48, 64)
+    assert set(np.unique(m0)) <= {0, 255}
+    assert "[dlimg] generate" in r.stderr

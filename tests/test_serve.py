@@ -92,6 +92,7 @@ def server():
         "DLIMG_COMPILATION_CACHE": str(CACHE),
         "DLIMG_BIREFNET_RESOLUTION": BIREFNET_RES,
         "DLIMG_BIREFNET_TEST_SLIM": "1",
+        "DLIMG_AMG_GRID": "4",   # tiny grid: fast CPU auto-masks
         "JAX_PLATFORMS": "cpu",  # embedded interpreter: no axon plugin
         "PYTHONPATH": str(REPO),
     })
@@ -453,7 +454,46 @@ def test_bundle_mode_batched_queries(bundle_server):
     _req(bundle_server, "DELETE", f"/v1/sessions/{sid}")
 
 
+def test_auto_masks(server):
+    """Automatic mask generation over HTTP: every object mask of the
+    session image, best-first, with accuracies (wraps
+    Segmentation::generate_masks)."""
+    st, body, _ = _req(server, "POST", "/v1/sessions",
+                       _png_bytes(_test_image()))
+    assert st == 200, body
+    sid = json.loads(body)["id"]
+    st, body, ct = _req(
+        server, "POST",
+        f"/v1/sessions/{sid}/auto-masks?iou=0.0&stability=0.0&max=4")
+    assert st == 200 and ct == "application/json", body
+    masks = json.loads(body)["masks"]
+    assert 1 <= len(masks) <= 4
+    accs = [m["accuracy"] for m in masks]
+    assert accs == sorted(accs, reverse=True)
+    import base64
+
+    png = base64.b64decode(masks[0]["png_base64"])
+    arr = _decode_png(png)
+    assert arr.shape == (48, 64)
+    assert set(np.unique(arr)) <= {0, 255}
+    # Bad params surface as 400, not 500.
+    st, _, _ = _req(server, "POST",
+                    f"/v1/sessions/{sid}/auto-masks?max=0")
+    assert st == 400
+    _req(server, "DELETE", f"/v1/sessions/{sid}")
+
+
 def test_stats(server):
+    # Self-sufficient: issue one mask query so the stats key exists even
+    # when this test runs without the earlier module tests (-k filters).
+    st, body, _ = _req(server, "POST", "/v1/sessions",
+                       _png_bytes(_test_image()))
+    assert st == 200, body
+    sid = json.loads(body)["id"]
+    st, _, _ = _req(server, "POST", f"/v1/sessions/{sid}/mask?point=32,24")
+    assert st == 200
+    _req(server, "DELETE", f"/v1/sessions/{sid}")
+
     st, body, _ = _req(server, "GET", "/v1/stats")
     assert st == 200
     stats = json.loads(body)
