@@ -334,6 +334,8 @@ class Segmentation : public Handle<dlimg_Segmentation_> {
                                          int count) const {
         auto e = extent();
         std::vector<Mask> result;
+        if (count <= 0)  // parity with the Python API: [] -> []
+            return result;
         result.reserve(count);
         std::vector<uint8_t*> ptrs(count);
         std::vector<int> flat(size_t(count) * 4, 0);

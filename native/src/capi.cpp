@@ -284,43 +284,46 @@ void unpack_mask(const uint8_t* packed, int bucket, int h, int w,
     }
 }
 
-dlimg_Result pjrt_get_mask(dlimg_Segmentation seg, int const* point,
-                           int const* region, uint8_t** out_masks,
-                           float* out_accuracies) {
-    auto* be = seg->pjrt;
-    bool single = out_masks[1] == nullptr;
-    // Prompt protocol (segmentation.cpp:131-152): point -> (p,1)+(0,-1);
-    // region -> (tl,2)+(br,3).
-    float pts[4] = {0, 0, 0, 0};
-    float lbl[2] = {0, 0};
-    auto tp = [&](int v) { return float(int(v * seg->scale + 0.5)); };
-    if (point) {
-        pts[0] = tp(point[0]);
-        pts[1] = tp(point[1]);
-        lbl[0] = 1.0f;
-        lbl[1] = -1.0f;
-    } else if (region) {
-        pts[0] = tp(region[0]);
-        pts[1] = tp(region[1]);
-        pts[2] = tp(region[2]);
-        pts[3] = tp(region[3]);
+// Encode one prompt into the decode-program protocol
+// (segmentation.cpp:131-152): point -> (p,1)+(0,-1); box -> (tl,2)+(br,3).
+// Coordinates are scaled into canvas space with Python-float rounding.
+void encode_prompt(double scale, int const* v, bool is_region,
+                   float* pts /*[4]*/, float* lbl /*[2]*/) {
+    auto tp = [&](int x) { return float(int(x * scale + 0.5)); };
+    if (is_region) {
+        pts[0] = tp(v[0]);
+        pts[1] = tp(v[1]);
+        pts[2] = tp(v[2]);
+        pts[3] = tp(v[3]);
         lbl[0] = 2.0f;
         lbl[1] = 3.0f;
     } else {
-        set_error("compute_mask: neither point nor region given");
-        return dlimg_error;
+        pts[0] = tp(v[0]);
+        pts[1] = tp(v[1]);
+        pts[2] = 0.0f;
+        pts[3] = 0.0f;
+        lbl[0] = 1.0f;
+        lbl[1] = -1.0f;
     }
+}
+
+// Run one decode-family program (cached embedding + P prompt slots) and
+// fetch its two outputs — per-mask IoUs FIRST (smallest output; the relay's
+// first-fetch pathology), then the bit-packed masks in one bulk copy.
+// n_masks = mask rows the program produces (1, 3, or the batch size).
+dlimg_Result run_decode_fetch(dlimg_Segmentation seg, std::string const& name,
+                              float* pts, float* lbl, int64_t slots,
+                              int n_masks, std::vector<uint8_t>* packed,
+                              std::vector<float>* iou) {
+    auto* be = seg->pjrt;
     int32_t sizes[4] = {seg->height, seg->width, seg->crop_h, seg->crop_w};
-    std::string name = (single ? "serve_decode_" : "serve_decode3_") +
-                       dlimg_pjrt::variant(be) + "_" +
-                       std::to_string(seg->bucket);
     std::vector<dlimg_pjrt::Arg> args(4);
     args[0].dev = seg->emb;
     args[1].host = pts;
-    args[1].dims = {1, 2, 2};
+    args[1].dims = {slots, 2, 2};
     args[1].dtype = "float32";
     args[2].host = lbl;
-    args[2].dims = {1, 2};
+    args[2].dims = {slots, 2};
     args[2].dtype = "float32";
     args[3].host = sizes;
     args[3].dims = {4};
@@ -331,26 +334,51 @@ dlimg_Result pjrt_get_mask(dlimg_Segmentation seg, int const* point,
         set_error(err);
         return dlimg_error;
     }
-    if (outs.size() < 2) {  // packed mask + iou expected
+    if (outs.size() < 2) {  // packed masks + iou expected
         for (auto* o : outs) dlimg_pjrt::release(be, o);
         set_error(name + ": decode program returned " +
                   std::to_string(outs.size()) + " outputs, expected 2 "
                   "(stale or mismatched serving bundle)");
         return dlimg_error;
     }
-    int n_masks = single ? 1 : 3;
     size_t row_bytes = size_t(seg->bucket) / 8;
-    std::vector<uint8_t> packed(size_t(n_masks) * seg->bucket * row_bytes);
-    std::vector<float> iou(n_masks);
-    bool ok = dlimg_pjrt::fetch(be, outs[1], iou.data(),
-                                iou.size() * sizeof(float), &err) &&
-              dlimg_pjrt::fetch(be, outs[0], packed.data(), packed.size(),
+    packed->resize(size_t(n_masks) * seg->bucket * row_bytes);
+    iou->resize(size_t(n_masks));
+    bool ok = dlimg_pjrt::fetch(be, outs[1], iou->data(),
+                                iou->size() * sizeof(float), &err) &&
+              dlimg_pjrt::fetch(be, outs[0], packed->data(), packed->size(),
                                 &err);
     for (auto* o : outs) dlimg_pjrt::release(be, o);
     if (!ok) {
         set_error(err);
         return dlimg_error;
     }
+    return dlimg_success;
+}
+
+dlimg_Result pjrt_get_mask(dlimg_Segmentation seg, int const* point,
+                           int const* region, uint8_t** out_masks,
+                           float* out_accuracies) {
+    auto* be = seg->pjrt;
+    bool single = out_masks[1] == nullptr;
+    float pts[4];
+    float lbl[2];
+    if (!point && !region) {
+        set_error("compute_mask: neither point nor region given");
+        return dlimg_error;
+    }
+    encode_prompt(seg->scale, point ? point : region, region != nullptr,
+                  pts, lbl);
+    std::string name = (single ? "serve_decode_" : "serve_decode3_") +
+                       dlimg_pjrt::variant(be) + "_" +
+                       std::to_string(seg->bucket);
+    int n_masks = single ? 1 : 3;
+    std::vector<uint8_t> packed;
+    std::vector<float> iou;
+    dlimg_Result r = run_decode_fetch(seg, name, pts, lbl, 1, n_masks,
+                                      &packed, &iou);
+    if (r != dlimg_success) return r;
+    size_t row_bytes = size_t(seg->bucket) / 8;
     for (int i = 0; i < n_masks; ++i) {
         unpack_mask(packed.data() + size_t(i) * seg->bucket * row_bytes,
                     seg->bucket, seg->height, seg->width, out_masks[i]);
@@ -370,7 +398,6 @@ dlimg_Result pjrt_compute_mask_batch(dlimg_Segmentation seg,
                                      float* out_accuracies) {
     auto* be = seg->pjrt;
     auto const& sizes_avail = dlimg_pjrt::batch_sizes(be);
-    auto tp = [&](int v) { return float(int(v * seg->scale + 0.5)); };
     if (sizes_avail.empty()) {
         // Bundle exported without --batch-sizes: fall back to one
         // serve_decode_ program per prompt (correct, just not batched).
@@ -395,64 +422,20 @@ dlimg_Result pjrt_compute_mask_batch(dlimg_Segmentation seg,
             if (s >= want) { nb = s; break; }
         int take = std::min(want, nb);
         std::vector<float> pts(size_t(nb) * 4, 0.0f);
-        std::vector<float> lbl(size_t(nb) * 2, -1.0f);
-        for (int i = 0; i < take; ++i) {
-            int const* v = prompts + size_t(done + i) * 4;
-            if (is_region[done + i]) {
-                pts[4 * i] = tp(v[0]);
-                pts[4 * i + 1] = tp(v[1]);
-                pts[4 * i + 2] = tp(v[2]);
-                pts[4 * i + 3] = tp(v[3]);
-                lbl[2 * i] = 2.0f;
-                lbl[2 * i + 1] = 3.0f;
-            } else {
-                pts[4 * i] = tp(v[0]);
-                pts[4 * i + 1] = tp(v[1]);
-                lbl[2 * i] = 1.0f;
-                lbl[2 * i + 1] = -1.0f;
-            }
-        }
-        int32_t sizes[4] = {seg->height, seg->width, seg->crop_h,
-                            seg->crop_w};
+        std::vector<float> lbl(size_t(nb) * 2, -1.0f);  // padding: no prompt
+        for (int i = 0; i < take; ++i)
+            encode_prompt(seg->scale, prompts + size_t(done + i) * 4,
+                          is_region[done + i] != 0, pts.data() + 4 * i,
+                          lbl.data() + 2 * i);
         std::string name = "serve_decode_batch" + std::to_string(nb) + "_" +
                            dlimg_pjrt::variant(be) + "_" +
                            std::to_string(seg->bucket);
-        std::vector<dlimg_pjrt::Arg> args(4);
-        args[0].dev = seg->emb;
-        args[1].host = pts.data();
-        args[1].dims = {nb, 2, 2};
-        args[1].dtype = "float32";
-        args[2].host = lbl.data();
-        args[2].dims = {nb, 2};
-        args[2].dtype = "float32";
-        args[3].host = sizes;
-        args[3].dims = {4};
-        args[3].dtype = "int32";
-        std::vector<dlimg_pjrt::Buf*> outs;
-        std::string err;
-        if (!dlimg_pjrt::run(be, name, args, &outs, &err)) {
-            set_error(err);
-            return dlimg_error;
-        }
-        if (outs.size() < 2) {
-            for (auto* o : outs) dlimg_pjrt::release(be, o);
-            set_error(name + ": batch decode program returned " +
-                      std::to_string(outs.size()) + " outputs, expected 2 "
-                      "(stale or mismatched serving bundle)");
-            return dlimg_error;
-        }
+        std::vector<uint8_t> packed;
+        std::vector<float> iou;
+        dlimg_Result r = run_decode_fetch(seg, name, pts.data(), lbl.data(),
+                                          nb, nb, &packed, &iou);
+        if (r != dlimg_success) return r;
         size_t row_bytes = size_t(seg->bucket) / 8;
-        std::vector<uint8_t> packed(size_t(nb) * seg->bucket * row_bytes);
-        std::vector<float> iou(nb);
-        bool ok = dlimg_pjrt::fetch(be, outs[1], iou.data(),
-                                    iou.size() * sizeof(float), &err) &&
-                  dlimg_pjrt::fetch(be, outs[0], packed.data(),
-                                    packed.size(), &err);
-        for (auto* o : outs) dlimg_pjrt::release(be, o);
-        if (!ok) {
-            set_error(err);
-            return dlimg_error;
-        }
         for (int i = 0; i < take; ++i) {
             unpack_mask(packed.data() + size_t(i) * seg->bucket * row_bytes,
                         seg->bucket, seg->height, seg->width,

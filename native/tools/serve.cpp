@@ -45,6 +45,7 @@
 #include <cstdio>
 #include <cstring>
 #include <deque>
+#include <functional>
 #include <memory>
 #include <mutex>
 #include <random>
@@ -352,6 +353,13 @@ class Sessions {
   public:
     explicit Sessions(size_t cap) : cap_(cap) {}
 
+    // Called with the raw Segmentation handle of every session leaving the
+    // store (DELETE or LRU eviction) — lets dependents drop per-session
+    // state keyed on it.
+    void set_on_evict(std::function<void(void*)> fn) {
+        on_evict_ = std::move(fn);
+    }
+
     std::string add(dlimg::Segmentation seg) {
         std::lock_guard<std::mutex> lock(mu_);
         std::string id = random_id();
@@ -363,6 +371,8 @@ class Sessions {
             for (auto it = map_.begin(); it != map_.end(); ++it)
                 if (it->second.last_used < lru->second.last_used)
                     lru = it;
+            if (on_evict_)
+                on_evict_(lru->second.seg.get());
             map_.erase(lru);
         }
         return id;
@@ -379,7 +389,13 @@ class Sessions {
 
     bool remove(std::string const& id) {
         std::lock_guard<std::mutex> lock(mu_);
-        return map_.erase(id) != 0;
+        auto it = map_.find(id);
+        if (it == map_.end())
+            return false;
+        if (on_evict_)
+            on_evict_(it->second.seg.get());
+        map_.erase(it);
+        return true;
     }
 
     size_t size() const {
@@ -396,6 +412,7 @@ class Sessions {
     std::unordered_map<std::string, Entry> map_;
     size_t cap_;
     uint64_t tick_ = 0;
+    std::function<void(void*)> on_evict_;
 };
 
 // ---------------------------------------------------------------------------
@@ -456,11 +473,7 @@ class MaskBatcher {
             idx = gen->prompts.size();
             gen->prompts.push_back(prompt);
             if (leader) {
-                if (entry->busy) {
-                    // Collect for as long as the in-flight batch runs.
-                    entry->busy_cv.wait(lock,
-                                        [&] { return !entry->busy; });
-                } else if (window_ms_ > 0) {
+                if (!entry->busy && window_ms_ > 0) {
                     // Idle: give near-simultaneous peers a brief window.
                     lock.unlock();
                     std::this_thread::sleep_for(
@@ -468,6 +481,15 @@ class MaskBatcher {
                             window_ms_));
                     lock.lock();
                 }
+                // Collect for as long as an in-flight batch runs. Checked
+                // (again) AFTER the idle sleep: another leader can have
+                // started during the unlocked window (its gen filled to
+                // batch_max and a later arrival opened this one), and
+                // proceeding unconditionally would dispatch two batches
+                // concurrently and corrupt the busy flag.
+                if (entry->busy)
+                    entry->busy_cv.wait(lock,
+                                        [&] { return !entry->busy; });
                 if (entry->open == gen)
                     entry->open = nullptr;  // later arrivals: next gen
                 entry->busy = true;
@@ -508,6 +530,16 @@ class MaskBatcher {
     Counters counters() const {
         std::lock_guard<std::mutex> lock(mu_);
         return counters_;
+    }
+
+    // Drop a session's batching state when the session is deleted or
+    // LRU-evicted. In-flight leaders/waiters keep their own shared_ptrs, so
+    // erasing the map entry is safe mid-batch; without this the map leaks
+    // one Entry per session AND a new session allocated at a recycled
+    // address would inherit a dead session's state.
+    void forget(void* key) {
+        std::lock_guard<std::mutex> lock(mu_);
+        state_.erase(key);
     }
 
   private:
@@ -569,9 +601,12 @@ class Server {
         backend_name_ = opts.backend == Backend::gpu ? "gpu" : "cpu";
         opts.model_directory = cfg_.models.c_str();
         env_ = std::make_unique<Environment>(opts);
-        if (cfg_.batch_window_ms > 0)
+        if (cfg_.batch_window_ms > 0) {
             batcher_ = std::make_unique<MaskBatcher>(cfg_.batch_window_ms,
                                                      cfg_.batch_max);
+            sessions_.set_on_evict(
+                [this](void* key) { batcher_->forget(key); });
+        }
     }
 
     int run() {
@@ -682,20 +717,35 @@ class Server {
     // persistent compilation cache this costs compile time once ever.
     void warm_batch_programs(dlimg::Segmentation const& seg,
                              dlimg::Extent e) {
+        uint64_t key = (uint64_t(uint32_t(e.width)) << 32) |
+                       uint32_t(e.height);
         {
             std::lock_guard<std::mutex> lock(warm_mu_);
-            uint64_t key = (uint64_t(uint32_t(e.width)) << 32) |
-                           uint32_t(e.height);
-            if (!warmed_.insert(key).second)
+            if (warmed_.count(key))
                 return;
         }
         using namespace dlimg;
         Point center{e.width / 2, e.height / 2};
-        for (int n = 2; n <= cfg_.batch_max; n *= 2) {
+        Region box{Point{e.width / 4, e.height / 4},
+                   Point{3 * e.width / 4, 3 * e.height / 4}};
+        // Padded pow2 sizes from 1 up to and including ceil_pow2(max);
+        // point AND box batches (a box prompt can select a different
+        // largest-component executable family — both must be hot).
+        for (int n = 1; ; n *= 2) {
             std::vector<Segmentation::Prompt> prompts;
-            prompts.assign(size_t(n), Segmentation::Prompt(center));
+            prompts.assign(size_t(std::min(n, cfg_.batch_max)),
+                           Segmentation::Prompt(center));
             seg.compute_mask_batch(prompts);
+            prompts.assign(size_t(std::min(n, cfg_.batch_max)),
+                           Segmentation::Prompt(box));
+            seg.compute_mask_batch(prompts);
+            if (n >= cfg_.batch_max)
+                break;
         }
+        // Mark warmed only on success so a failed warm is retried by the
+        // next session of this size.
+        std::lock_guard<std::mutex> lock(warm_mu_);
+        warmed_.insert(key);
     }
 
     // Collapse session ids out of the stats key.

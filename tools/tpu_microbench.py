@@ -812,8 +812,8 @@ def main(argv=None) -> int:
                                         "vit-prefix", "amg"])
     ap.add_argument("--grid", type=int, default=32,
                     help="amg: prompt-grid side (grid^2 points)")
-    ap.add_argument("--res", type=int, default=1024,
-                    help="birefnet-l1: canvas resolution (1024 or 2048); "
+    ap.add_argument("--res", type=int, default=0,
+                    help="birefnet-l1: canvas resolution (default 1024); "
                          "birefnet: 0 = both (default), else restrict")
     ap.add_argument("--exact", action="store_true",
                     help="birefnet: skip the int8-deform leg")
@@ -840,15 +840,13 @@ def main(argv=None) -> int:
         cmd_encoders(dev, quant=args.quant)
         return 0
     if args.command == "birefnet-l1":
-        cmd_birefnet_l1(dev, res=args.res)
+        cmd_birefnet_l1(dev, res=args.res or 1024)
         return 0
     if args.command == "amg":
         cmd_amg(dev, variant=args.variant or "mobile_sam", grid=args.grid)
         return 0
     if args.command == "birefnet":
-        cmd_birefnet(dev, only_res=args.res if args.res in (1024, 2048)
-                     and "--res" in (argv or sys.argv) else 0,
-                     exact_only=args.exact)
+        cmd_birefnet(dev, only_res=args.res, exact_only=args.exact)
         return 0
     {"attention": cmd_attention, "tinyvit-stages": cmd_tinyvit_stages,
      "birefnet-stages": cmd_birefnet_stages,
