@@ -1,12 +1,11 @@
-// Native image codecs: libpng/libjpeg + built-in BMP/TGA/PNM/GIF/PSD/HDR.
+// Native image codecs: libpng/libjpeg + built-in BMP/TGA/PNM/GIF/PSD/HDR/PIC.
 //
 // Counterpart of the reference's stb-backed layer
 // (/root/reference/src/image.cpp:11-35) with the same contract: decoded
 // images keep their file-native channel count, restricted to {1,3,4};
 // saving is PNG-only. Container coverage matches what stbi_load accepts
-// (the reference imposes no format restriction beyond the channel check)
-// minus Softimage PIC, which is extinct in practice and unreadable by the
-// Python bridge either. Semantics are spec-faithful, with stb's LDR
+// (the reference imposes no format restriction beyond the channel check),
+// including Softimage PIC. Semantics are spec-faithful, with stb's LDR
 // conventions where a conversion is needed: 16-bit samples narrow by
 // taking the high byte, GIF decodes the first frame onto a transparent
 // canvas, HDR tone-maps RGBE with gamma 2.2 / scale 1 (stb's
@@ -900,6 +899,159 @@ bool available() {
 #endif
 }
 
+
+// ---------------------------------------------------------------------------
+// Softimage PIC (built-in)
+// ---------------------------------------------------------------------------
+//
+// Closes the last container gap vs the reference's stb layer
+// (/root/reference/src/image.cpp:11-23 accepts everything stbi_load does).
+// Spec-faithful independent implementation: 104-byte header (BE32 magic
+// 0x5380F634, f32 version, 80-byte comment, "PICT", BE16 width/height,
+// f32 ratio, BE16 fields, BE16 pad), then chained 4-byte channel packets
+// {chained, bits, type, channel-mask} and per-scanline packet data. Packet
+// type 0 = uncompressed, 2 = mixed RLE (count < 128: count+1 literal
+// pixels; count == 128: BE16 run length then one pixel; count > 128:
+// count-127 run). Channel masks: 0x80/0x40/0x20/0x10 = R/G/B/A. Output is
+// RGBA composed across packets, reported as 4 channels when any packet
+// carries alpha, else repacked to RGB (stb reports the same way).
+
+uint8_t* load_pic(std::FILE* f, int* w, int* h, int* channels,
+                  std::string* error) {
+    uint8_t header[104];
+    if (std::fread(header, 1, sizeof header, f) != sizeof header ||
+        std::memcmp(header + 88, "PICT", 4) != 0) {
+        *error = "pic: bad header";
+        return nullptr;
+    }
+    int const width = (header[92] << 8) | header[93];
+    int const height = (header[94] << 8) | header[95];
+    if (width <= 0 || height <= 0 || width > (1 << 15) ||
+        height > (1 << 15)) {
+        *error = "pic: bad dimensions";
+        return nullptr;
+    }
+    struct Packet {
+        uint8_t type = 0;
+        uint8_t mask = 0;
+    };
+    std::vector<Packet> packets;
+    bool alpha = false;
+    for (;;) {
+        if (packets.size() > 8) {  // 4 channels; a sane file needs <= 4
+            *error = "pic: too many channel packets";
+            return nullptr;
+        }
+        uint8_t pkt[4];
+        if (std::fread(pkt, 1, 4, f) != 4) {
+            *error = "pic: truncated channel packets";
+            return nullptr;
+        }
+        if (pkt[1] != 8) {
+            *error = "pic: only 8-bit channels supported";
+            return nullptr;
+        }
+        if (pkt[2] != 0 && pkt[2] != 2) {
+            *error = "pic: unsupported packet compression";
+            return nullptr;
+        }
+        packets.push_back(Packet{pkt[2], pkt[3]});
+        alpha = alpha || (pkt[3] & 0x10) != 0;
+        if (!pkt[0]) break;
+    }
+    std::vector<uint8_t> rgba(size_t(width) * height * 4, 0);
+    for (size_t i = 3; i < rgba.size(); i += 4) rgba[i] = 0xff;
+    for (int y = 0; y < height; ++y) {
+        uint8_t* row = rgba.data() + size_t(y) * width * 4;
+        for (Packet const& p : packets) {
+            int idx[4];
+            int nc = 0;
+            for (int bit = 0x80, c = 0; bit >= 0x10; bit >>= 1, ++c)
+                if (p.mask & bit) idx[nc++] = c;
+            if (nc == 0) continue;
+            auto write_px = [&](int x, uint8_t const* px) {
+                for (int c = 0; c < nc; ++c)
+                    row[size_t(x) * 4 + idx[c]] = px[c];
+            };
+            if (p.type == 0) {  // uncompressed
+                std::vector<uint8_t> buf(size_t(width) * nc);
+                if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+                    *error = "pic: truncated pixel data";
+                    return nullptr;
+                }
+                for (int x = 0; x < width; ++x)
+                    write_px(x, buf.data() + size_t(x) * nc);
+            } else {  // mixed RLE
+                int x = 0;
+                while (x < width) {
+                    int c = std::fgetc(f);
+                    if (c == EOF) {
+                        *error = "pic: truncated pixel data";
+                        return nullptr;
+                    }
+                    if (c >= 128) {  // run of one repeated pixel
+                        int run;
+                        if (c == 128) {
+                            int hi = std::fgetc(f), lo = std::fgetc(f);
+                            if (lo == EOF) {
+                                *error = "pic: truncated pixel data";
+                                return nullptr;
+                            }
+                            run = (hi << 8) | lo;
+                        } else {
+                            run = c - 127;
+                        }
+                        uint8_t px[4];
+                        if (std::fread(px, 1, size_t(nc), f) != size_t(nc)) {
+                            *error = "pic: truncated pixel data";
+                            return nullptr;
+                        }
+                        if (run < 0 || x + run > width) {
+                            *error = "pic: rle run past end of scanline";
+                            return nullptr;
+                        }
+                        for (int i = 0; i < run; ++i) write_px(x++, px);
+                    } else {  // c + 1 literal pixels
+                        int cnt = c + 1;
+                        if (x + cnt > width) {
+                            *error = "pic: rle literals past scanline end";
+                            return nullptr;
+                        }
+                        std::vector<uint8_t> buf(size_t(cnt) * nc);
+                        if (std::fread(buf.data(), 1, buf.size(), f) !=
+                            buf.size()) {
+                            *error = "pic: truncated pixel data";
+                            return nullptr;
+                        }
+                        for (int i = 0; i < cnt; ++i)
+                            write_px(x++, buf.data() + size_t(i) * nc);
+                    }
+                }
+            }
+        }
+    }
+    int const out_c = alpha ? 4 : 3;
+    uint8_t* out = static_cast<uint8_t*>(
+        std::malloc(size_t(width) * height * out_c));
+    if (!out) {
+        *error = "pic: allocation failed";
+        return nullptr;
+    }
+    if (alpha) {
+        std::memcpy(out, rgba.data(), rgba.size());
+    } else {
+        for (size_t i = 0, n = size_t(width) * height; i < n; ++i) {
+            out[i * 3 + 0] = rgba[i * 4 + 0];
+            out[i * 3 + 1] = rgba[i * 4 + 1];
+            out[i * 3 + 2] = rgba[i * 4 + 2];
+        }
+    }
+    *w = width;
+    *h = height;
+    *channels = out_c;
+    return out;
+}
+
 uint8_t* load_image(char const* path, int* w, int* h, int* channels,
                     std::string* error) {
     error->clear();
@@ -946,6 +1098,9 @@ uint8_t* load_image(char const* path, int* w, int* h, int* channels,
         return load_pnm(file.f, w, h, channels, error);
     if (got >= 2 && magic[0] == '#' && magic[1] == '?')
         return load_hdr(file.f, w, h, channels, error);
+    if (got >= 4 && magic[0] == 0x53 && magic[1] == 0x80 &&
+        magic[2] == 0xF6 && magic[3] == 0x34)
+        return load_pic(file.f, w, h, channels, error);
     // TGA has no magic; go by extension.
     size_t len = std::strlen(path);
     if (len > 4 && (std::strcmp(path + len - 4, ".tga") == 0 ||

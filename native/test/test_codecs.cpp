@@ -10,6 +10,7 @@
 #include <dlimgedit/detail/dlimgedit.h>
 
 #include <cstdio>
+#include <vector>
 #include <cstdlib>
 #include <cstring>
 #include <initializer_list>
@@ -159,7 +160,29 @@ int main() {
         CHECK(px[3] == 0 && px[4] == 0 && px[5] == 0);
         api->destroy_image(px);
         std::remove(p);
-        std::puts("pnm/gif/psd/hdr: built-in decoders exact");
+    }
+    {
+        // Softimage PIC 2x1 RGB: mixed-RLE packet, one 2-pixel run.
+        char const* p = "/tmp/dlimg_codec.pic";
+        std::vector<uint8_t> pic = {0x53, 0x80, 0xF6, 0x34, 0, 0, 0, 0};
+        pic.resize(88, 'c');                        // version junk + comment
+        for (char ch : {'P', 'I', 'C', 'T'}) pic.push_back(uint8_t(ch));
+        uint8_t const tail[] = {0, 2, 0, 1,          // w=2, h=1
+                                0, 0, 0, 0, 0, 3, 0, 0,  // ratio, fields, pad
+                                0, 8, 2, 0xE0,       // one RGB mixed-RLE pkt
+                                129, 7, 8, 9};       // run of 2 x (7,8,9)
+        pic.insert(pic.end(), tail, tail + sizeof tail);
+        std::FILE* o = std::fopen(p, "wb");
+        CHECK(o != nullptr);
+        CHECK(std::fwrite(pic.data(), 1, pic.size(), o) == pic.size());
+        std::fclose(o);
+        uint8_t* px = nullptr;
+        CHECK(load_ok(p, 2, 1, 3, &px));
+        uint8_t const want[6] = {7, 8, 9, 7, 8, 9};
+        CHECK(std::memcmp(px, want, 6) == 0);
+        api->destroy_image(px);
+        std::remove(p);
+        std::puts("pnm/gif/psd/hdr/pic: built-in decoders exact");
     }
 
     // --- error path -------------------------------------------------------

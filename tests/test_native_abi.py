@@ -449,6 +449,100 @@ def test_native_psd_decode_matches_pillow(api, tmp_path):
         np.testing.assert_array_equal(mine[:, :, :3], ref)
 
 
+def test_native_pic_decode(api, tmp_path):
+    """Built-in Softimage PIC reader: uncompressed and mixed-RLE packets,
+    RGB and RGB+A layouts, against handcrafted spec-conformant files
+    (the one stb container the codec layer previously omitted)."""
+    import struct
+
+    rng = np.random.default_rng(13)
+    h, w = 4, 6
+    arr = np.ascontiguousarray(rng.integers(0, 256, (h, w, 4),
+                                            dtype=np.uint8))
+    # Force an RLE-friendly run in row 0: identical pixels 1..4.
+    arr[0, 1:5] = arr[0, 1]
+
+    def header():
+        return (struct.pack(">I", 0x5380F634) + struct.pack(">f", 3.71)
+                + b"c" * 80 + b"PICT" + struct.pack(">HH", w, h)
+                + struct.pack(">f", 1.0) + struct.pack(">HH", 3, 0))
+
+    def packet(chained, ptype, mask):
+        return bytes([1 if chained else 0, 8, ptype, mask])
+
+    def rle_row(row):  # mixed RLE: runs >= 2 as 127+len, literals batched
+        out = b""
+        x = 0
+        while x < len(row):
+            run = 1
+            while (x + run < len(row)
+                   and np.array_equal(row[x + run], row[x])
+                   and run < 127):
+                run += 1
+            if run >= 2:
+                out += bytes([127 + run]) + row[x].tobytes()
+                x += run
+            else:
+                lit = x + 1
+                while lit < len(row):
+                    nxt = 1
+                    while (lit + nxt < len(row)
+                           and np.array_equal(row[lit + nxt], row[lit])):
+                        nxt += 1
+                    if nxt >= 2:
+                        break
+                    lit += 1
+                out += bytes([lit - x - 1]) + row[x:lit].tobytes()
+                x = lit
+        return out
+
+    # Uncompressed RGB (alpha packet absent -> 3 channels out).
+    raw = header() + packet(False, 0, 0xE0)
+    for y in range(h):
+        raw += arr[y, :, :3].tobytes()
+    p = tmp_path / "raw.pic"
+    p.write_bytes(raw)
+    mine = _native_load(api, str(p).encode())
+    assert mine.shape == (h, w, 3)
+    np.testing.assert_array_equal(mine, arr[:, :, :3])
+
+    # Mixed-RLE RGB packet + uncompressed alpha packet (-> 4 channels).
+    rle = header() + packet(True, 2, 0xE0) + packet(False, 0, 0x10)
+    for y in range(h):
+        rle += rle_row(arr[y, :, :3]) + arr[y, :, 3].tobytes()
+    p = tmp_path / "rle.pic"
+    p.write_bytes(rle)
+    mine = _native_load(api, str(p).encode())
+    assert mine.shape == (h, w, 4)
+    np.testing.assert_array_equal(mine, arr)
+
+    # Long-run form (count == 128 + BE16 length) on a constant row.
+    wide = 300
+    row = np.full((wide, 3), 42, np.uint8)
+    long_rle = (header()[:92] + struct.pack(">HH", wide, 1)
+                + struct.pack(">f", 1.0) + struct.pack(">HH", 3, 0)
+                + packet(False, 2, 0xE0)
+                + bytes([128]) + struct.pack(">H", wide) + row[0].tobytes())
+    p = tmp_path / "long.pic"
+    p.write_bytes(long_rle)
+    mine = _native_load(api, str(p).encode())
+    assert mine.shape == (1, wide, 3)
+    np.testing.assert_array_equal(mine, row[None])
+
+    # Corrupt inputs error (no crash): truncated pixels, overrunning run.
+    for bad in (raw[:-5], header() + packet(False, 2, 0xE0)
+                + bytes([127 + w + 1]) + b"\x01\x02\x03"):
+        p = tmp_path / "bad.pic"
+        p.write_bytes(bad)
+        extent = (ctypes.c_int * 2)()
+        channels = ctypes.c_int()
+        pixels = ctypes.POINTER(ctypes.c_uint8)()
+        rc = api.load_image(str(p).encode(), extent,
+                            ctypes.byref(channels), ctypes.byref(pixels))
+        assert rc == 1
+        assert b"pic:" in api.last_error()
+
+
 def test_native_hdr_decode(api, tmp_path):
     """Built-in Radiance HDR reader: RGBE -> stb's LDR conversion
     (c * 2^(e-136), gamma 2.2, scale 1), new-style RLE scanlines."""
