@@ -2,12 +2,13 @@
 
 Mirrors the reference's stb-backed codecs
 (/root/reference/src/image.cpp:11-35): load any stb-readable container
-(PNG/JPEG/BMP/TGA/PNM/GIF/PSD/HDR) with channel validation {1,3,4}, save
-PNG (mask/rgb/rgba only).
+(PNG/JPEG/BMP/TGA/PNM/GIF/PSD/HDR/PIC) with channel validation {1,3,4},
+save PNG (mask/rgb/rgba only).
 
-The Python tier uses Pillow, plus a built-in Radiance-HDR reader (Pillow
-has no HDR plugin; the conversion matches native/src/codecs.cpp's
-load_hdr — stb's LDR defaults, gamma 2.2 / scale 1). The native C shim
+The Python tier uses Pillow, plus built-in Radiance-HDR and Softimage-PIC
+readers (Pillow has plugins for neither; the HDR conversion matches
+native/src/codecs.cpp's load_hdr — stb's LDR defaults, gamma 2.2 /
+scale 1 — and _load_pic mirrors load_pic). The native C shim
 (native/) decodes the same containers itself so codec behaviour is
 identical across both entry points.
 """
@@ -89,9 +90,104 @@ def _load_hdr(filepath: str) -> np.ndarray:
     return ldr.astype(np.uint8)
 
 
+def _load_pic(filepath: str) -> np.ndarray:
+    """Softimage PIC -> (h, w, 3|4) uint8 (Pillow has no PIC plugin).
+
+    Mirrors native/src/codecs.cpp load_pic exactly: 104-byte header,
+    chained {chained, bits, type, mask} channel packets, packet type 0 =
+    uncompressed / 2 = mixed RLE (count < 128: count+1 literals; 128:
+    BE16 run; > 128: count-127 run); masks 0x80/0x40/0x20/0x10 = R/G/B/A.
+    Returns 4 channels when any packet carries alpha, else 3.
+    """
+    with open(filepath, "rb") as f:
+        data = f.read()
+    if len(data) < 104 or data[88:92] != b"PICT":
+        raise DlimgError(f"{filepath}: bad PIC header")
+    w = int.from_bytes(data[92:94], "big")
+    h = int.from_bytes(data[94:96], "big")
+    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+        raise DlimgError(f"{filepath}: bad PIC dimensions")
+    pos = 104
+    packets = []
+    alpha = False
+    while True:
+        if len(packets) > 8:
+            raise DlimgError(f"{filepath}: too many PIC channel packets")
+        if pos + 4 > len(data):
+            raise DlimgError(f"{filepath}: truncated PIC channel packets")
+        chained, bits, ptype, mask = data[pos:pos + 4]
+        pos += 4
+        if bits != 8:
+            raise DlimgError(f"{filepath}: only 8-bit PIC supported")
+        if ptype not in (0, 2):
+            raise DlimgError(f"{filepath}: unsupported PIC compression")
+        packets.append((ptype, mask))
+        alpha = alpha or bool(mask & 0x10)
+        if not chained:
+            break
+    rgba = np.zeros((h, w, 4), np.uint8)
+    rgba[:, :, 3] = 255
+    idx_of = {0x80: 0, 0x40: 1, 0x20: 2, 0x10: 3}
+    for y in range(h):
+        for ptype, mask in packets:
+            idx = [idx_of[b] for b in (0x80, 0x40, 0x20, 0x10) if mask & b]
+            nc = len(idx)
+            if nc == 0:
+                continue
+            if ptype == 0:  # uncompressed
+                need = w * nc
+                if pos + need > len(data):
+                    raise DlimgError(f"{filepath}: truncated PIC pixels")
+                row = np.frombuffer(data[pos:pos + need],
+                                    np.uint8).reshape(w, nc)
+                rgba[y, :, idx] = row.T
+                pos += need
+            else:  # mixed RLE
+                x = 0
+                while x < w:
+                    if pos >= len(data):
+                        raise DlimgError(f"{filepath}: truncated PIC rle")
+                    c = data[pos]
+                    pos += 1
+                    if c >= 128:
+                        if c == 128:
+                            if pos + 2 > len(data):
+                                raise DlimgError(
+                                    f"{filepath}: truncated PIC rle")
+                            run = int.from_bytes(data[pos:pos + 2], "big")
+                            pos += 2
+                        else:
+                            run = c - 127
+                        if pos + nc > len(data):
+                            raise DlimgError(
+                                f"{filepath}: truncated PIC pixels")
+                        if x + run > w:
+                            raise DlimgError(
+                                f"{filepath}: PIC rle run past scanline")
+                        px = np.frombuffer(data[pos:pos + nc], np.uint8)
+                        pos += nc
+                        rgba[y, x:x + run, idx] = px[:, None]
+                        x += run
+                    else:
+                        cnt = c + 1
+                        need = cnt * nc
+                        if x + cnt > w:
+                            raise DlimgError(
+                                f"{filepath}: PIC literals past scanline")
+                        if pos + need > len(data):
+                            raise DlimgError(
+                                f"{filepath}: truncated PIC pixels")
+                        lit = np.frombuffer(data[pos:pos + need],
+                                            np.uint8).reshape(cnt, nc)
+                        rgba[y, x:x + cnt, idx] = lit.T
+                        pos += need
+                        x += cnt
+    return rgba if alpha else np.ascontiguousarray(rgba[:, :, :3])
+
+
 def load_image(filepath: str) -> Image:
     """Load an image file. Supported containers match the reference's stb
-    loader: PNG, JPEG, BMP, TGA, PNM, GIF (first frame), PSD, HDR.
+    loader: PNG, JPEG, BMP, TGA, PNM, GIF (first frame), PSD, HDR, PIC.
 
     Matches image.cpp:11-23 — keeps the file's native channel count and
     rejects anything other than 1/3/4 channels.
@@ -102,10 +198,17 @@ def load_image(filepath: str) -> Image:
         raise DlimgError("No image codec available (Pillow not installed)") from e
     try:
         with open(filepath, "rb") as probe:
-            if probe.read(2) == b"#?":  # Radiance HDR: no Pillow plugin
+            magic = probe.read(4)
+            if magic[:2] == b"#?":  # Radiance HDR: no Pillow plugin
                 arr = _load_hdr(filepath)
                 h, w = arr.shape[:2]
                 return Image(Extent(w, h), Channels.rgb, arr)
+            if magic == b"\x53\x80\xf6\x34":  # Softimage PIC: ditto
+                arr = _load_pic(filepath)
+                h, w = arr.shape[:2]
+                return Image(Extent(w, h),
+                             Channels.rgba if arr.shape[2] == 4
+                             else Channels.rgb, arr)
     except OSError as e:
         raise DlimgError(f"Failed to load image {filepath}: {e}") from e
     try:

@@ -319,3 +319,69 @@ def test_load_truncated_hdr_raises(tmp_path):
     p.write_bytes(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 4 +X 16\n\x02\x02")
     with pytest.raises(Exception, match="truncated|Failed"):
         load_image(str(p))
+
+
+def _pic_header(w, h):
+    import struct
+
+    return (struct.pack(">I", 0x5380F634) + struct.pack(">f", 3.71)
+            + b"c" * 80 + b"PICT" + struct.pack(">HH", w, h)
+            + struct.pack(">f", 1.0) + struct.pack(">HH", 3, 0))
+
+
+def test_load_pic(tmp_path):
+    """Built-in Softimage PIC reader (no Pillow plugin exists): raw RGB,
+    mixed-RLE RGB + raw alpha, and the BE16 long-run form — mirroring the
+    native decoder's test vectors (test_native_abi.py) so both tiers pin
+    the same semantics."""
+    rng = np.random.default_rng(13)
+    h, w = 4, 6
+    arr = np.ascontiguousarray(rng.integers(0, 256, (h, w, 4),
+                                            dtype=np.uint8))
+
+    # Raw RGB (no alpha packet -> rgb).
+    raw = _pic_header(w, h) + bytes([0, 8, 0, 0xE0])
+    for y in range(h):
+        raw += arr[y, :, :3].tobytes()
+    p = tmp_path / "raw.pic"
+    p.write_bytes(raw)
+    img = load_image(str(p))
+    assert img.channels == Channels.rgb
+    np.testing.assert_array_equal(img.pixels, arr[:, :, :3])
+
+    # Mixed-RLE RGB (one run + literals per row) + raw alpha -> rgba.
+    arr[:, 1:4] = arr[:, 1:2]  # a 3-pixel run in every row
+    rle = _pic_header(w, h) + bytes([1, 8, 2, 0xE0]) + bytes([0, 8, 0, 0x10])
+    for y in range(h):
+        row = (bytes([0]) + arr[y, 0, :3].tobytes()           # 1 literal
+               + bytes([127 + 3]) + arr[y, 1, :3].tobytes()   # run of 3
+               + bytes([1]) + arr[y, 4:6, :3].tobytes())      # 2 literals
+        rle += row + arr[y, :, 3].tobytes()
+    p = tmp_path / "rle.pic"
+    p.write_bytes(rle)
+    img = load_image(str(p))
+    assert img.channels == Channels.rgba
+    np.testing.assert_array_equal(img.pixels, arr)
+
+    # Long-run form (count == 128 + BE16 length).
+    wide = 300
+    long_rle = (_pic_header(wide, 1) + bytes([0, 8, 2, 0xE0])
+                + bytes([128]) + wide.to_bytes(2, "big") + bytes([9, 8, 7]))
+    p = tmp_path / "long.pic"
+    p.write_bytes(long_rle)
+    img = load_image(str(p))
+    assert img.extent == Extent(wide, 1)
+    np.testing.assert_array_equal(img.pixels,
+                                  np.tile([9, 8, 7], (1, wide, 1)))
+
+
+def test_load_truncated_pic_raises(tmp_path):
+    p = tmp_path / "bad.pic"
+    p.write_bytes(_pic_header(6, 4) + bytes([0, 8, 0, 0xE0]) + b"\x01\x02")
+    with pytest.raises(Exception, match="truncated|Failed"):
+        load_image(str(p))
+    # An RLE run past the scanline is rejected, not written out of bounds.
+    p.write_bytes(_pic_header(2, 1) + bytes([0, 8, 2, 0xE0])
+                  + bytes([127 + 5]) + b"\x01\x02\x03")
+    with pytest.raises(Exception, match="past scanline|Failed"):
+        load_image(str(p))
