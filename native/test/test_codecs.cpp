@@ -272,7 +272,8 @@ int main() {
         // truncations and bit-flips of the valid encodes from above — these
         // run OUR parsing code, not a system library's.
         {
-            char const* magics[] = {"P6 ", "GIF8", "8BPS", "#?RADIANCE\n"};
+            char const* magics[] = {"P6 ", "GIF8", "8BPS", "#?RADIANCE\n",
+                                    "\x53\x80\xf6\x34"};
             for (auto m : magics) {
                 std::memcpy(junk, m, std::strlen(m));
                 try_load(junk, sizeof junk);
@@ -300,9 +301,23 @@ int main() {
                 std::memcpy(hdr_buf + hdr_n, rgbe, 8);
                 hdr_n += 8;
             }
+            uint8_t pic_buf[128];
+            size_t pic_n = 0;
+            {
+                // The valid PIC from the decode check above: 104-byte
+                // header + one mixed-RLE RGB packet + a run of 2 pixels.
+                uint8_t const head[8] = {0x53, 0x80, 0xF6, 0x34, 0, 0, 0, 0};
+                std::memcpy(pic_buf, head, 8);
+                std::memset(pic_buf + 8, 'c', 80);
+                std::memcpy(pic_buf + 88, "PICT", 4);
+                uint8_t const tail[] = {0, 2, 0, 1, 0, 0, 0, 0, 0, 3, 0, 0,
+                                        0, 8, 2, 0xE0, 129, 7, 8, 9};
+                std::memcpy(pic_buf + 92, tail, sizeof tail);
+                pic_n = 92 + sizeof tail;
+            }
             struct { uint8_t const* d; size_t n; } cases[] = {
                 {gif, sizeof gif}, {psd, sizeof psd}, {pnm, sizeof pnm},
-                {hdr_buf, hdr_n}};
+                {hdr_buf, hdr_n}, {pic_buf, pic_n}};
             for (auto const& cse : cases) {
                 for (size_t len = 1; len < cse.n; ++len)  // every truncation
                     try_load(cse.d, len);
