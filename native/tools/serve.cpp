@@ -18,6 +18,9 @@
 //   GET    /v1/info                       -> runtime mode / backend JSON
 //   GET    /v1/stats                      -> request counts + latency JSON
 //
+// Connections are HTTP/1.1 keep-alive (pipelining-safe carry buffer;
+// Connection: close honoured; 30 s idle timeout via SO_RCVTIMEO; 1000
+// requests/connection cap so one client cannot pin a worker).
 // Concurrency: the C ABI is thread-safe (thread-local error state, GIL
 // discipline in embedded mode, lock-protected executable cache), so workers
 // call it directly; sessions are shared_ptrs held in an LRU-capped map.
@@ -141,6 +144,7 @@ std::string random_id() {
 struct Request {
     std::string method, path, query, body;
     std::unordered_map<std::string, std::string> params;  // parsed query
+    bool keep_alive = true;  // HTTP/1.1 default; false on Connection: close
 };
 
 // Thrown for client-side faults (bad body, undecodable image) -> HTTP 400.
@@ -205,9 +209,14 @@ void parse_query(Request& req) {
 }
 
 // Read one HTTP/1.1 request from fd. Returns false on close/parse failure;
-// sets *too_large when the declared body exceeds kMaxBody.
-bool read_request(int fd, Request* req, bool* too_large) {
-    std::string data;
+// sets *too_large when the declared body exceeds kMaxBody. `carry` holds
+// bytes read past the previous request on the same connection (pipelined
+// clients) — consumed first, and refilled with this request's excess, so
+// keep-alive never drops queued bytes.
+bool read_request(int fd, Request* req, bool* too_large,
+                  std::string* carry) {
+    std::string data = std::move(*carry);
+    carry->clear();
     char buf[16384];
     size_t header_end;
     for (;;) {
@@ -234,7 +243,7 @@ bool read_request(int fd, Request* req, bool* too_large) {
     if (q != std::string::npos)
         req->query = target.substr(q + 1);
     parse_query(*req);
-    // Content-Length (case-insensitive scan of the header block).
+    // Content-Length + Connection (case-insensitive scan of the headers).
     size_t content_length = 0;
     {
         std::string headers = data.substr(line_end + 2,
@@ -248,6 +257,10 @@ bool read_request(int fd, Request* req, bool* too_large) {
             content_length = std::strtoull(
                 headers.c_str() + cl + 15, nullptr, 10);
         }
+        size_t cn = lower.find("connection:");
+        if (cn != std::string::npos &&
+            lower.find("close", cn) != std::string::npos)
+            req->keep_alive = false;
     }
     if (content_length > kMaxBody) {
         *too_large = true;
@@ -261,24 +274,29 @@ bool read_request(int fd, Request* req, bool* too_large) {
             return false;
         req->body.append(buf, size_t(n));
     }
-    req->body.resize(content_length);
+    if (req->body.size() > content_length) {  // pipelined next request
+        *carry = req->body.substr(content_length);
+        req->body.resize(content_length);
+    }
     return true;
 }
 
-void send_response(int fd, Response const& r) {
+void send_response(int fd, Response const& r, bool keep_alive) {
+    char const* conn = keep_alive ? "keep-alive" : "close";
     char head[256];
     int n;
     if (r.status == 204)  // RFC 9110: 204 carries no body and no length
         n = std::snprintf(head, sizeof head,
-                          "HTTP/1.1 204 No Content\r\nConnection: close\r\n\r\n");
+                          "HTTP/1.1 204 No Content\r\nConnection: %s\r\n\r\n",
+                          conn);
     else
         n = std::snprintf(head, sizeof head,
                           "HTTP/1.1 %d %s\r\n"
                           "Content-Type: %s\r\n"
                           "Content-Length: %zu\r\n"
-                          "Connection: close\r\n\r\n",
+                          "Connection: %s\r\n\r\n",
                           r.status, status_text(r.status),
-                          r.content_type.c_str(), r.body.size());
+                          r.content_type.c_str(), r.body.size(), conn);
     std::string out(head, size_t(n));
     out += r.body;
     size_t sent = 0;
@@ -684,29 +702,39 @@ class Server {
         }
     }
 
+    // Serve requests on one connection until the client closes, asks to
+    // (Connection: close), errs, or hits the per-connection cap (an
+    // anti-starvation bound: one chatty client cannot hold a worker
+    // forever; the next connect re-queues it behind other clients).
     void handle_connection(int fd) {
-        Request req;
-        bool too_large = false;
-        if (!read_request(fd, &req, &too_large)) {
-            if (too_large)
-                send_response(fd, Response::error(413, "body too large"));
-            return;
+        std::string carry;
+        for (int served = 0; served < 1000 && !g_stop; ++served) {
+            Request req;
+            bool too_large = false;
+            if (!read_request(fd, &req, &too_large, &carry)) {
+                if (too_large)
+                    send_response(fd, Response::error(413, "body too large"),
+                                  false);
+                return;
+            }
+            auto t0 = Clock::now();
+            Response resp;
+            try {
+                resp = route(req);
+            } catch (BadRequest const& e) {
+                resp = Response::error(400, e.what());
+            } catch (std::exception const& e) {
+                resp = Response::error(500, e.what());
+            }
+            double ms = std::chrono::duration<double, std::milli>(
+                            Clock::now() - t0)
+                            .count();
+            stats_.record(req.method + " " + stat_key(req.path), ms,
+                          resp.status < 400);
+            send_response(fd, resp, req.keep_alive);
+            if (!req.keep_alive)
+                return;
         }
-        auto t0 = Clock::now();
-        Response resp;
-        try {
-            resp = route(req);
-        } catch (BadRequest const& e) {
-            resp = Response::error(400, e.what());
-        } catch (std::exception const& e) {
-            resp = Response::error(500, e.what());
-        }
-        double ms = std::chrono::duration<double, std::milli>(Clock::now() -
-                                                              t0)
-                        .count();
-        stats_.record(req.method + " " + stat_key(req.path), ms,
-                      resp.status < 400);
-        send_response(fd, resp);
     }
 
     // Pre-compile every padded batch-decode program this server can reach

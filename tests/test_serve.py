@@ -505,3 +505,49 @@ def test_stats(server):
     assert entry["count"] >= 1
     assert entry["p95_ms"] >= entry["p50_ms"] >= 0
     assert not any("deadbeef" in k for k in eps)
+
+
+def test_keep_alive_and_pipelining(server):
+    """HTTP/1.1 keep-alive: multiple requests on ONE connection, including
+    two pipelined back-to-back (the carry buffer must not drop the second
+    request's bytes), and Connection: close is honoured."""
+    import socket
+
+    host, port = server.split("//")[1].split(":")
+
+    def recv_response(sock, buf=b""):
+        while b"\r\n\r\n" not in buf:
+            buf += sock.recv(65536)
+        head, rest = buf.split(b"\r\n\r\n", 1)
+        length = 0
+        for line in head.split(b"\r\n"):
+            if line.lower().startswith(b"content-length:"):
+                length = int(line.split(b":")[1])
+        while len(rest) < length:
+            rest += sock.recv(65536)
+        return head, rest[:length], rest[length:]
+
+    with socket.create_connection((host, int(port)), timeout=120) as sock:
+        # Two sequential requests on the same connection.
+        sock.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+        head, body, extra = recv_response(sock)
+        assert b"200" in head.split(b"\r\n")[0] and body == b"ok"
+        assert b"connection: keep-alive" in head.lower()
+        sock.sendall(b"GET /v1/info HTTP/1.1\r\nHost: x\r\n\r\n")
+        head, body, extra = recv_response(sock, extra)
+        assert json.loads(body)["mode"] == "embedded-python"
+
+        # Two PIPELINED requests sent before reading either response.
+        sock.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n"
+                     b"GET /v1/stats HTTP/1.1\r\nHost: x\r\n\r\n")
+        head, body, extra = recv_response(sock, extra)
+        assert body == b"ok"
+        head, body, extra = recv_response(sock, extra)
+        assert "uptime_s" in json.loads(body)
+
+        # Connection: close ends the session after the response.
+        sock.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n"
+                     b"Connection: close\r\n\r\n")
+        head, body, extra = recv_response(sock, extra)
+        assert body == b"ok" and b"connection: close" in head.lower()
+        assert sock.recv(1) == b""  # server closed
