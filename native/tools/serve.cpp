@@ -731,8 +731,12 @@ class Server {
                             .count();
             stats_.record(req.method + " " + stat_key(req.path), ms,
                           resp.status < 400);
-            send_response(fd, resp, req.keep_alive);
-            if (!req.keep_alive)
+            // At the per-connection cap the LAST response must advertise
+            // close — closing after a keep-alive response makes clients
+            // see a mid-stream disconnect.
+            bool const last = served + 1 >= 1000 || g_stop;
+            send_response(fd, resp, req.keep_alive && !last);
+            if (!req.keep_alive || last)
                 return;
         }
     }

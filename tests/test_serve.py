@@ -551,3 +551,22 @@ def test_keep_alive_and_pipelining(server):
         head, body, extra = recv_response(sock, extra)
         assert body == b"ok" and b"connection: close" in head.lower()
         assert sock.recv(1) == b""  # server closed
+
+    # Per-connection request cap: the 1000th response must advertise
+    # close (a silent close after a keep-alive response would surface as
+    # RemoteDisconnected mid-stream); http.client then reconnects
+    # transparently.
+    import http.client
+
+    conn = http.client.HTTPConnection(f"{host}:{port}", timeout=120)
+    saw_close = 0
+    for i in range(1001):
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
+        if (resp.getheader("Connection") or "").lower() == "close":
+            saw_close += 1
+            assert i == 999  # exactly at the cap
+    assert saw_close == 1
+    conn.close()

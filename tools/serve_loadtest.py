@@ -55,7 +55,11 @@ def _pct(sorted_ms, p):
     return sorted_ms[min(len(sorted_ms) - 1, int(p * (len(sorted_ms) - 1)))]
 
 
-def run_level(base, session_ids, wh, concurrency, requests):
+def run_level(base, session_ids, wh, concurrency, requests,
+              keep_alive=True):
+    import http.client
+
+    host_port = base.split("//")[1]
     lat_ms = []
     errors = []
     lock = threading.Lock()
@@ -63,23 +67,36 @@ def run_level(base, session_ids, wh, concurrency, requests):
 
     def worker(seed):
         rng = random.Random(seed)
+        conn = (http.client.HTTPConnection(host_port, timeout=600)
+                if keep_alive else None)
         while True:
             with lock:
                 if idx["v"] >= requests:
+                    if conn:
+                        conn.close()
                     return
                 i = idx["v"]
                 idx["v"] += 1
             sid = session_ids[i % len(session_ids)]
             w, h = wh
             x, y = rng.randrange(w), rng.randrange(h)
+            path = f"/v1/sessions/{sid}/mask?point={x},{y}"
             t0 = time.perf_counter()
             try:
-                st, _ = _req(base, "POST",
-                             f"/v1/sessions/{sid}/mask?point={x},{y}")
-                assert st == 200
+                if conn:  # one persistent connection per client thread
+                    conn.request("POST", path)
+                    resp = conn.getresponse()
+                    resp.read()
+                    assert resp.status == 200
+                else:
+                    st, _ = _req(base, "POST", path)
+                    assert st == 200
             except Exception as e:  # noqa: BLE001
                 with lock:
                     errors.append(str(e))
+                if conn:  # reconnect after an error
+                    conn.close()
+                    conn = http.client.HTTPConnection(host_port, timeout=600)
                 continue
             dt = (time.perf_counter() - t0) * 1e3
             with lock:
@@ -117,6 +134,8 @@ def main(argv=None):
                     help="comma list of client counts per level")
     ap.add_argument("--requests", type=int, default=64,
                     help="mask queries per level")
+    ap.add_argument("--no-keepalive", action="store_true",
+                    help="one connection per request (legacy behaviour)")
     args = ap.parse_args(argv)
 
     img = _image_bytes(args.image)
@@ -142,7 +161,8 @@ def main(argv=None):
 
     results = []
     for c in [int(v) for v in args.concurrency.split(",") if v]:
-        r = run_level(args.base, session_ids, wh, c, args.requests)
+        r = run_level(args.base, session_ids, wh, c, args.requests,
+                      keep_alive=not args.no_keepalive)
         results.append(r)
         print(json.dumps(r), flush=True)
 
