@@ -95,9 +95,11 @@ def _load_pic(filepath: str) -> np.ndarray:
 
     Mirrors native/src/codecs.cpp load_pic exactly: 104-byte header,
     chained {chained, bits, type, mask} channel packets, packet type 0 =
-    uncompressed / 2 = mixed RLE (count < 128: count+1 literals; 128:
-    BE16 run; > 128: count-127 run); masks 0x80/0x40/0x20/0x10 = R/G/B/A.
-    Returns 4 channels when any packet carries alpha, else 3.
+    uncompressed / 1 = pure RLE ({count, pixel} pairs, count clamping at
+    the scanline end like stb, zero counts rejected) / 2 = mixed RLE
+    (count < 128: count+1 literals; 128: BE16 run; > 128: count-127 run);
+    masks 0x80/0x40/0x20/0x10 = R/G/B/A. Returns 4 channels when any
+    packet carries alpha, else 3.
     """
     with open(filepath, "rb") as f:
         data = f.read()
@@ -105,7 +107,9 @@ def _load_pic(filepath: str) -> np.ndarray:
         raise DlimgError(f"{filepath}: bad PIC header")
     w = int.from_bytes(data[92:94], "big")
     h = int.from_bytes(data[94:96], "big")
-    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+    # Pixel cap mirrors the native decoder: a tiny file claiming 32k x 32k
+    # would otherwise force a 4 GiB allocation before any pixel data.
+    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15 and w * h <= 1 << 26):
         raise DlimgError(f"{filepath}: bad PIC dimensions")
     pos = 104
     packets = []
@@ -119,18 +123,17 @@ def _load_pic(filepath: str) -> np.ndarray:
         pos += 4
         if bits != 8:
             raise DlimgError(f"{filepath}: only 8-bit PIC supported")
-        if ptype not in (0, 2):
+        if ptype not in (0, 1, 2):
             raise DlimgError(f"{filepath}: unsupported PIC compression")
-        packets.append((ptype, mask))
+        idx = [i for i, b in enumerate((0x80, 0x40, 0x20, 0x10)) if mask & b]
+        packets.append((ptype, idx))
         alpha = alpha or bool(mask & 0x10)
         if not chained:
             break
     rgba = np.zeros((h, w, 4), np.uint8)
     rgba[:, :, 3] = 255
-    idx_of = {0x80: 0, 0x40: 1, 0x20: 2, 0x10: 3}
     for y in range(h):
-        for ptype, mask in packets:
-            idx = [idx_of[b] for b in (0x80, 0x40, 0x20, 0x10) if mask & b]
+        for ptype, idx in packets:
             nc = len(idx)
             if nc == 0:
                 continue
@@ -142,6 +145,21 @@ def _load_pic(filepath: str) -> np.ndarray:
                                     np.uint8).reshape(w, nc)
                 rgba[y, :, idx] = row.T
                 pos += need
+            elif ptype == 1:  # pure RLE: {count, pixel} pairs
+                x = 0
+                while x < w:
+                    if pos + 1 + nc > len(data):
+                        raise DlimgError(f"{filepath}: truncated PIC rle")
+                    c = data[pos]
+                    pos += 1
+                    if c == 0:  # no progress: corrupt
+                        raise DlimgError(
+                            f"{filepath}: zero-length PIC rle run")
+                    px = np.frombuffer(data[pos:pos + nc], np.uint8)
+                    pos += nc
+                    run = min(c, w - x)  # stb clamps at the scanline end
+                    rgba[y, x:x + run, idx] = px[:, None]
+                    x += run
             else:  # mixed RLE
                 x = 0
                 while x < w:

@@ -910,8 +910,10 @@ bool available() {
 // 0x5380F634, f32 version, 80-byte comment, "PICT", BE16 width/height,
 // f32 ratio, BE16 fields, BE16 pad), then chained 4-byte channel packets
 // {chained, bits, type, channel-mask} and per-scanline packet data. Packet
-// type 0 = uncompressed, 2 = mixed RLE (count < 128: count+1 literal
-// pixels; count == 128: BE16 run length then one pixel; count > 128:
+// type 0 = uncompressed, 1 = pure RLE ({u8 count, pixel} pairs, a count
+// clamping at the scanline end like stb; zero counts rejected — no
+// progress), 2 = mixed RLE (count < 128: count+1 literal pixels;
+// count == 128: BE16 run length then one pixel; count > 128:
 // count-127 run). Channel masks: 0x80/0x40/0x20/0x10 = R/G/B/A. Output is
 // RGBA composed across packets, reported as 4 channels when any packet
 // carries alpha, else repacked to RGB (stb reports the same way).
@@ -926,8 +928,12 @@ uint8_t* load_pic(std::FILE* f, int* w, int* h, int* channels,
     }
     int const width = (header[92] << 8) | header[93];
     int const height = (header[94] << 8) | header[95];
+    // Cap total pixels too: a ~110-byte file claiming 32768x32768 would
+    // otherwise force a 4 GiB allocation before any pixel data is read —
+    // a DoS vector through serving endpoints that accept uploads.
     if (width <= 0 || height <= 0 || width > (1 << 15) ||
-        height > (1 << 15)) {
+        height > (1 << 15) ||
+        int64_t(width) * height > (int64_t(1) << 26)) {
         *error = "pic: bad dimensions";
         return nullptr;
     }
@@ -951,7 +957,7 @@ uint8_t* load_pic(std::FILE* f, int* w, int* h, int* channels,
             *error = "pic: only 8-bit channels supported";
             return nullptr;
         }
-        if (pkt[2] != 0 && pkt[2] != 2) {
+        if (pkt[2] != 0 && pkt[2] != 1 && pkt[2] != 2) {
             *error = "pic: unsupported packet compression";
             return nullptr;
         }
@@ -961,6 +967,7 @@ uint8_t* load_pic(std::FILE* f, int* w, int* h, int* channels,
     }
     std::vector<uint8_t> rgba(size_t(width) * height * 4, 0);
     for (size_t i = 3; i < rgba.size(); i += 4) rgba[i] = 0xff;
+    std::vector<uint8_t> buf(size_t(width) * 4);  // reused per row/chunk
     for (int y = 0; y < height; ++y) {
         uint8_t* row = rgba.data() + size_t(y) * width * 4;
         for (Packet const& p : packets) {
@@ -974,13 +981,33 @@ uint8_t* load_pic(std::FILE* f, int* w, int* h, int* channels,
                     row[size_t(x) * 4 + idx[c]] = px[c];
             };
             if (p.type == 0) {  // uncompressed
-                std::vector<uint8_t> buf(size_t(width) * nc);
-                if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+                size_t need = size_t(width) * nc;
+                if (std::fread(buf.data(), 1, need, f) != need) {
                     *error = "pic: truncated pixel data";
                     return nullptr;
                 }
                 for (int x = 0; x < width; ++x)
                     write_px(x, buf.data() + size_t(x) * nc);
+            } else if (p.type == 1) {  // pure RLE: {count, pixel} pairs
+                int x = 0;
+                while (x < width) {
+                    int c = std::fgetc(f);
+                    if (c == EOF) {
+                        *error = "pic: truncated pixel data";
+                        return nullptr;
+                    }
+                    if (c == 0) {  // no progress: corrupt
+                        *error = "pic: zero-length rle run";
+                        return nullptr;
+                    }
+                    uint8_t px[4];
+                    if (std::fread(px, 1, size_t(nc), f) != size_t(nc)) {
+                        *error = "pic: truncated pixel data";
+                        return nullptr;
+                    }
+                    int run = c > width - x ? width - x : c;  // stb clamps
+                    for (int i = 0; i < run; ++i) write_px(x++, px);
+                }
             } else {  // mixed RLE
                 int x = 0;
                 while (x < width) {
@@ -1017,9 +1044,8 @@ uint8_t* load_pic(std::FILE* f, int* w, int* h, int* channels,
                             *error = "pic: rle literals past scanline end";
                             return nullptr;
                         }
-                        std::vector<uint8_t> buf(size_t(cnt) * nc);
-                        if (std::fread(buf.data(), 1, buf.size(), f) !=
-                            buf.size()) {
+                        size_t need = size_t(cnt) * nc;
+                        if (std::fread(buf.data(), 1, need, f) != need) {
                             *error = "pic: truncated pixel data";
                             return nullptr;
                         }

@@ -36,6 +36,7 @@
 
 #include <arpa/inet.h>
 #include <netinet/in.h>
+#include <poll.h>
 #include <netinet/tcp.h>
 #include <sys/socket.h>
 #include <unistd.h>
@@ -237,6 +238,10 @@ bool read_request(int fd, Request* req, bool* too_large,
     if (sp1 == std::string::npos || sp2 <= sp1)
         return false;
     req->method = line.substr(0, sp1);
+    // HTTP/1.0 defaults to close (no persistent connections unless the
+    // client asks); HTTP/1.1 defaults to keep-alive.
+    if (line.substr(sp2 + 1) == "HTTP/1.0")
+        req->keep_alive = false;
     std::string target = line.substr(sp1 + 1, sp2 - sp1 - 1);
     size_t q = target.find('?');
     req->path = target.substr(0, q);
@@ -258,9 +263,19 @@ bool read_request(int fd, Request* req, bool* too_large,
                 headers.c_str() + cl + 15, nullptr, 10);
         }
         size_t cn = lower.find("connection:");
-        if (cn != std::string::npos &&
-            lower.find("close", cn) != std::string::npos)
-            req->keep_alive = false;
+        if (cn != std::string::npos) {
+            // Bound the value search to THIS header's line: an unbounded
+            // find would match 'close' inside a later header (e.g. a
+            // User-Agent containing the substring).
+            size_t eol = lower.find("\r\n", cn);
+            std::string val = lower.substr(
+                cn + 11, (eol == std::string::npos ? lower.size() : eol) -
+                             cn - 11);
+            if (val.find("close") != std::string::npos)
+                req->keep_alive = false;
+            else if (val.find("keep-alive") != std::string::npos)
+                req->keep_alive = true;  // HTTP/1.0 opt-in
+        }
     }
     if (content_length > kMaxBody) {
         *too_large = true;
@@ -702,6 +717,29 @@ class Server {
         }
     }
 
+    // Between keep-alive requests, wait for data in short poll slices so
+    // an IDLE persistent connection cannot pin a worker while other
+    // clients queue: with no bytes pending and connections waiting in
+    // queue_, the worker closes this one (the client reconnects) and
+    // serves the queue. Returns false when the connection should close.
+    bool await_next_request(int fd, std::string const& carry) {
+        if (!carry.empty())
+            return true;  // pipelined bytes already buffered
+        for (int waited_ms = 0; waited_ms < 30000 && !g_stop;
+             waited_ms += 100) {
+            pollfd pfd{fd, POLLIN, 0};
+            int r = ::poll(&pfd, 1, 100);
+            if (r < 0)
+                return false;
+            if (r > 0)
+                return !(pfd.revents & (POLLERR | POLLNVAL));
+            std::lock_guard<std::mutex> lock(qmu_);
+            if (!queue_.empty())
+                return false;  // yield the worker to waiting clients
+        }
+        return false;  // idle timeout / shutdown
+    }
+
     // Serve requests on one connection until the client closes, asks to
     // (Connection: close), errs, or hits the per-connection cap (an
     // anti-starvation bound: one chatty client cannot hold a worker
@@ -709,6 +747,8 @@ class Server {
     void handle_connection(int fd) {
         std::string carry;
         for (int served = 0; served < 1000 && !g_stop; ++served) {
+            if (served > 0 && !await_next_request(fd, carry))
+                return;
             Request req;
             bool too_large = false;
             if (!read_request(fd, &req, &too_large, &carry)) {

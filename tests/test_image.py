@@ -375,6 +375,44 @@ def test_load_pic(tmp_path):
                                   np.tile([9, 8, 7], (1, wide, 1)))
 
 
+def test_load_pic_pure_rle(tmp_path):
+    """Packet type 1 (pure RLE: {count, pixel} pairs, end-of-scanline
+    clamping like stb) — the third compression stb accepts."""
+    w, h = 5, 2
+    body = b""
+    rows = [[(3, (1, 2, 3)), (9, (4, 5, 6))],   # 9 clamps to 2 remaining
+            [(5, (7, 8, 9))]]
+    for row in rows:
+        for count, px in row:
+            body += bytes([count]) + bytes(px)
+    p = tmp_path / "pure.pic"
+    p.write_bytes(_pic_header(w, h) + bytes([0, 8, 1, 0xE0]) + body)
+    img = load_image(str(p))
+    assert img.channels == Channels.rgb
+    want = np.array([[[1, 2, 3]] * 3 + [[4, 5, 6]] * 2,
+                     [[7, 8, 9]] * 5], np.uint8)
+    np.testing.assert_array_equal(img.pixels, want)
+
+    # Zero count = no progress -> rejected.
+    p.write_bytes(_pic_header(w, 1) + bytes([0, 8, 1, 0xE0])
+                  + bytes([0]) + bytes([1, 2, 3]))
+    with pytest.raises(Exception, match="zero-length|Failed"):
+        load_image(str(p))
+
+
+def test_load_pic_dimension_cap(tmp_path):
+    """A tiny file claiming a huge canvas is rejected before allocation."""
+    import struct
+
+    hdr = (struct.pack(">I", 0x5380F634) + struct.pack(">f", 3.71)
+           + b"c" * 80 + b"PICT" + struct.pack(">HH", 32768, 32768)
+           + struct.pack(">f", 1.0) + struct.pack(">HH", 3, 0))
+    p = tmp_path / "huge.pic"
+    p.write_bytes(hdr + bytes([0, 8, 0, 0xE0]))
+    with pytest.raises(Exception, match="dimensions|Failed"):
+        load_image(str(p))
+
+
 def test_load_truncated_pic_raises(tmp_path):
     p = tmp_path / "bad.pic"
     p.write_bytes(_pic_header(6, 4) + bytes([0, 8, 0, 0xE0]) + b"\x01\x02")

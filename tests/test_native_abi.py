@@ -529,9 +529,32 @@ def test_native_pic_decode(api, tmp_path):
     assert mine.shape == (1, wide, 3)
     np.testing.assert_array_equal(mine, row[None])
 
-    # Corrupt inputs error (no crash): truncated pixels, overrunning run.
+    # Pure RLE (type 1): {count, pixel} pairs with stb's end-of-scanline
+    # clamping.
+    pure = header() + packet(False, 1, 0xE0)
+    for y in range(h):
+        pure += (bytes([2]) + arr[y, 0, :3].tobytes()       # run of 2
+                 + bytes([200]) + arr[y, 2, :3].tobytes())  # clamps to 4
+    p = tmp_path / "pure.pic"
+    p.write_bytes(pure)
+    mine = _native_load(api, str(p).encode())
+    assert mine.shape == (h, w, 3)
+    want = arr[:, :, :3].copy()
+    want[:, 1] = want[:, 0]
+    want[:, 3:] = want[:, 2:3]
+    np.testing.assert_array_equal(mine, want)
+
+    # Corrupt inputs error (no crash): truncated pixels, overrunning run,
+    # zero-length pure-RLE run, huge claimed dimensions.
+    import struct as _st
+    huge = (_st.pack(">I", 0x5380F634) + _st.pack(">f", 3.71) + b"c" * 80
+            + b"PICT" + _st.pack(">HH", 32768, 32768)
+            + _st.pack(">f", 1.0) + _st.pack(">HH", 3, 0)
+            + packet(False, 0, 0xE0))
     for bad in (raw[:-5], header() + packet(False, 2, 0xE0)
-                + bytes([127 + w + 1]) + b"\x01\x02\x03"):
+                + bytes([127 + w + 1]) + b"\x01\x02\x03",
+                header() + packet(False, 1, 0xE0) + bytes([0, 1, 2, 3]),
+                huge):
         p = tmp_path / "bad.pic"
         p.write_bytes(bad)
         extent = (ctypes.c_int * 2)()

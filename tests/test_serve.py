@@ -552,6 +552,23 @@ def test_keep_alive_and_pipelining(server):
         assert body == b"ok" and b"connection: close" in head.lower()
         assert sock.recv(1) == b""  # server closed
 
+    # HTTP/1.0 defaults to close (and the server must say so).
+    with socket.create_connection((host, int(port)), timeout=120) as sock:
+        sock.sendall(b"GET /healthz HTTP/1.0\r\nHost: x\r\n\r\n")
+        head, body, extra = recv_response(sock)
+        assert body == b"ok" and b"connection: close" in head.lower()
+        assert sock.recv(1) == b""
+
+    # 'close' in an UNRELATED header must not end a keep-alive connection.
+    with socket.create_connection((host, int(port)), timeout=120) as sock:
+        sock.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n"
+                     b"User-Agent: closeio-client/1.0\r\n\r\n")
+        head, body, extra = recv_response(sock)
+        assert body == b"ok" and b"connection: keep-alive" in head.lower()
+        sock.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+        head, body, extra = recv_response(sock, extra)
+        assert body == b"ok"  # connection survived
+
     # Per-connection request cap: the 1000th response must advertise
     # close (a silent close after a keep-alive response would surface as
     # RemoteDisconnected mid-stream); http.client then reconnects
